@@ -1,0 +1,295 @@
+"""Data layer: normalization semantics, stats, schema, ETL, loading."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vae_teb_tpu.data import (Batch, CombinedHDF5Dataset,
+                              DatasetStatsCalculator, append_batch,
+                              build_dataset, create_initial_hdf5,
+                              dataset_info, default_field_stats,
+                              denormalize_field, find_flat_regions,
+                              load_stats, normalize_field, passes_qc,
+                              prefetch_to_device, synthetic_fhr_up)
+from vae_teb_tpu.data.normalize import FieldStats
+
+
+# --------------------------------------------------------------------------
+# normalize
+# --------------------------------------------------------------------------
+
+def test_scalar_normalization(rng):
+    x = rng.standard_normal((4, 100)).astype(np.float32) * 10 + 140
+    st = default_field_stats("fhr", mean=140.0, variance=100.0)
+    out = np.asarray(normalize_field(x, "fhr", st))
+    np.testing.assert_allclose(out, (x - 140.0) / (10.0 + 1e-8), rtol=1e-5)
+
+
+def test_fhr_st_log_channels(rng):
+    """Channel 0 raw, channels 1.. log-transformed (reference semantics)."""
+    c, s = 5, 32
+    x = np.abs(rng.standard_normal((c, s))).astype(np.float32)
+    mean = rng.standard_normal(c).astype(np.float32)
+    var = np.abs(rng.standard_normal(c)).astype(np.float32) + 0.5
+    st = default_field_stats("fhr_st", mean, var, n_channels=c)
+    out = np.asarray(normalize_field(x, "fhr_st", st, channel_axis=0))
+    expected = x.copy()
+    expected[1:] = np.log(np.clip(expected[1:], 0, None) + 1e-6)
+    expected = (expected - mean[:, None]) / (np.sqrt(var)[:, None] + 1e-8)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_phase_asinh_all_channels(rng):
+    c, s = 7, 16
+    x = rng.standard_normal((c, s)).astype(np.float32) * 100
+    mean = np.zeros(c, np.float32)
+    var = np.ones(c, np.float32)
+    st = default_field_stats("fhr_ph", mean, var, n_channels=c)
+    out = np.asarray(normalize_field(x, "fhr_ph", st, channel_axis=0))
+    np.testing.assert_allclose(out, np.arcsinh(x) / (1 + 1e-8), atol=1e-5)
+
+
+def test_batched_layout(rng):
+    """(B, C, S) batch normalization broadcasts per channel."""
+    b, c, s = 3, 4, 8
+    x = np.abs(rng.standard_normal((b, c, s))).astype(np.float32)
+    mean = rng.standard_normal(c).astype(np.float32)
+    var = np.ones(c, np.float32)
+    st = default_field_stats("fhr_up_ph", mean, var, n_channels=c)
+    out = np.asarray(normalize_field(x, "fhr_up_ph", st))
+    single = np.stack([np.asarray(normalize_field(x[i],
+                                                  "fhr_up_ph", st,
+                                                  channel_axis=0))
+                       for i in range(b)])
+    np.testing.assert_allclose(out, single, atol=1e-6)
+
+
+def test_denormalize_roundtrip(rng):
+    c, s = 6, 20
+    x = np.abs(rng.standard_normal((c, s))).astype(np.float32) + 0.1
+    mean = rng.standard_normal(c).astype(np.float32)
+    var = np.ones(c, np.float32) * 2
+    for field in ["fhr_st", "fhr_ph"]:
+        st = default_field_stats(field, mean, var, n_channels=c)
+        z = normalize_field(x, field, st, channel_axis=0)
+        back = np.asarray(denormalize_field(z, field, st, channel_axis=0))
+        np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# stats
+# --------------------------------------------------------------------------
+
+def test_stats_match_numpy_oracle(rng):
+    calc = DatasetStatsCalculator()
+    data = np.abs(rng.standard_normal((10, 5, 64))).astype(np.float32)
+    calc.update("fhr_st", data[:5])
+    calc.update("fhr_st", data[5:])
+    stats = calc.finalize()["fhr_st"]
+    expected = data.astype(np.float64).copy()
+    expected[:, 1:, :] = np.log(np.clip(expected[:, 1:, :], 0, None) + 1e-6)
+    mean = expected.mean(axis=(0, 2))
+    var = expected.var(axis=(0, 2))
+    np.testing.assert_allclose(stats.mean, mean, rtol=1e-4)
+    np.testing.assert_allclose(stats.variance, var, rtol=1e-3, atol=1e-6)
+    assert stats.log_channels == tuple(range(1, 5))
+
+
+def test_stats_scalar_field(rng):
+    calc = DatasetStatsCalculator()
+    data = (rng.standard_normal((8, 128)) * 7 + 3).astype(np.float32)
+    calc.update("fhr", data)
+    st = calc.finalize()["fhr"]
+    np.testing.assert_allclose(st.mean, data.mean(), rtol=1e-4)
+    np.testing.assert_allclose(st.variance, data.var(), rtol=1e-3)
+
+
+def test_stats_nan_handling(rng):
+    calc = DatasetStatsCalculator()
+    data = rng.standard_normal((4, 2, 16)).astype(np.float32)
+    data[0, 0, :8] = np.nan
+    calc.update("fhr_ph", data)
+    st = calc.finalize()["fhr_ph"]
+    oracle = np.arcsinh(data.astype(np.float64))
+    m0 = np.nanmean(oracle[:, 0, :])
+    np.testing.assert_allclose(st.mean[0], m0, rtol=1e-4)
+
+
+def test_stats_save_load_roundtrip(tmp_path, rng):
+    calc = DatasetStatsCalculator(trim_minutes=2.0)
+    calc.update("fhr_st", np.abs(rng.standard_normal((6, 4, 360))).astype(np.float32))
+    calc.update("fhr", rng.standard_normal((6, 5760)).astype(np.float32))
+    stats = calc.finalize()
+    p = str(tmp_path / "stats.h5")
+    calc.save_stats(stats, p)
+    loaded = load_stats(p)
+    np.testing.assert_allclose(loaded["fhr_st"].mean, stats["fhr_st"].mean,
+                               rtol=1e-6)
+    assert loaded["fhr_st"].log_channels == stats["fhr_st"].log_channels
+    np.testing.assert_allclose(float(loaded["fhr"].mean),
+                               float(stats["fhr"].mean), rtol=1e-6)
+
+
+def test_stats_trim(rng):
+    calc = DatasetStatsCalculator(trim_minutes=2.0)
+    assert calc.trim_raw == 480 and calc.trim_dec == 30
+    data = np.zeros((2, 5760), np.float32)
+    data[:, 480:-480] = 1.0  # only the interior should be seen
+    calc.update("fhr", data)
+    st = calc.finalize()["fhr"]
+    np.testing.assert_allclose(float(st.mean), 1.0, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# schema + ETL + loading
+# --------------------------------------------------------------------------
+
+def test_schema_create_append(tmp_path, rng):
+    p = str(tmp_path / "d.h5")
+    create_initial_hdf5(p, len_signal=256, len_sequence=32,
+                        channel_counts={"fhr_st": 5, "fhr_ph": 4,
+                                        "fhr_up_ph": 6})
+    batch = {
+        "fhr": rng.standard_normal((3, 256)).astype(np.float32),
+        "up": rng.standard_normal((3, 256)).astype(np.float32),
+        "fhr_st": rng.standard_normal((3, 5, 32)).astype(np.float32),
+        "fhr_ph": rng.standard_normal((3, 4, 32)).astype(np.float32),
+        "fhr_up_ph": rng.standard_normal((3, 6, 32)).astype(np.float32),
+        "target": np.ones((3, 32), np.float32),
+        "weight": np.ones((3, 32), np.float32),
+        "epoch": np.arange(3, dtype=np.float32),
+        "cs_label": np.array([0, 1, 0], np.uint8),
+        "bg_label": np.array([1, 0, 0], np.uint8),
+        "guid": ["a", "b", "c"],
+    }
+    append_batch(p, batch)
+    info = dataset_info(p)
+    assert info["fhr"] == (3, 256)
+    assert info["fhr_up_ph"] == (3, 6, 32)
+
+
+def test_find_flat_regions_matches_reference_semantics():
+    sig = np.concatenate([np.arange(10.0), np.full(30, 5.0), np.arange(20.0)])
+    regions = find_flat_regions(sig, tolerance=1e-9, min_length=20)
+    assert len(regions) == 1
+    s, e = regions[0]
+    assert e - s + 1 >= 30
+    # no flat region in pure noise
+    assert find_flat_regions(np.random.default_rng(0).standard_normal(100),
+                             tolerance=1e-9) == []
+
+
+def test_passes_qc():
+    rng = np.random.default_rng(0)
+    good_fhr = 140 + rng.standard_normal(5760).astype(np.float32)
+    good_up = 30 + rng.standard_normal(5760).astype(np.float32)
+    w = np.ones(360, np.float32)
+    assert passes_qc(good_fhr, good_up, w)
+    assert not passes_qc(good_fhr, good_up, w * 0.5)  # low weight
+    flat_fhr = good_fhr.copy()
+    flat_fhr[1000:1600] = 120.0  # 600-sample flat > 480 threshold
+    assert not passes_qc(flat_fhr, good_up, w)
+
+
+@pytest.fixture(scope="module")
+def small_dataset(tmp_path_factory):
+    """A tiny but schema-complete dataset built through the real transform."""
+    d = tmp_path_factory.mktemp("ds")
+    path = str(d / "train.h5")
+    from vae_teb_tpu.ops import PhaseScattering1D
+    sc = PhaseScattering1D(J=6, Q=2, T=8, shape=1024, max_order=1)
+    res = build_dataset(path, n_records=3, windows_per_record=2,
+                        len_signal=1024, seed=0, transform=sc)
+    assert res["kept"] > 0
+    # stats over the built dataset
+    calc = DatasetStatsCalculator()
+    stats = calc.calculate_stats([path], batch_size=4)
+    stats_path = str(d / "stats.h5")
+    calc.save_stats(stats, stats_path)
+    return path, stats_path, sc
+
+
+def test_build_and_load(small_dataset):
+    path, stats_path, sc = small_dataset
+    ds = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=10)
+    assert len(ds) > 0
+    sample = ds[0]
+    n_seq = sc.scattering.n_out
+    assert sample.fhr_st.shape == (n_seq, sc.scattering.output_channels)
+    assert sample.fhr_ph.shape[0] == n_seq  # (S, C) layout
+    assert isinstance(sample.guid, str)
+    # normalized multichannel data should be roughly standardized
+    assert abs(float(sample.fhr_st.mean())) < 1.5
+    ds.close()
+
+
+def test_dataset_filtering(small_dataset):
+    path, stats_path, _ = small_dataset
+    ds_all = CombinedHDF5Dataset(path, cache_size=0)
+    guid0 = ds_all[0].guid
+    ds_f = CombinedHDF5Dataset(path, allowed_guids=[guid0], cache_size=0)
+    assert 0 < len(ds_f) <= len(ds_all)
+    assert all(ds_f[i].guid == guid0 for i in range(len(ds_f)))
+    with pytest.raises(ValueError):
+        CombinedHDF5Dataset(path, epoch_min=1e12)
+    ds_all.close()
+    ds_f.close()
+
+
+def test_shard_slicing(small_dataset):
+    path, _, _ = small_dataset
+    ds = CombinedHDF5Dataset(path, cache_size=0)
+    shards = [ds.epoch_indices(shuffle=True, seed=7, shard_index=i,
+                               shard_count=2) for i in range(2)]
+    assert len(shards[0]) == len(shards[1])  # drop_last equalizes
+    assert not set(shards[0]) & set(shards[1])  # disjoint
+    again = ds.epoch_indices(shuffle=True, seed=7, shard_index=0,
+                             shard_count=2)
+    np.testing.assert_array_equal(shards[0], again)  # deterministic
+    ds.close()
+
+
+def test_batch_iteration_and_prefetch(small_dataset):
+    path, stats_path, _ = small_dataset
+    ds = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=0,
+                             load_fields=["fhr", "fhr_st", "fhr_ph",
+                                          "fhr_up_ph", "guid"])
+    batches = list(ds.as_batches(batch_size=2, shuffle=True, seed=0,
+                                 drop_last=False))
+    assert batches and batches[0].fhr_st.ndim == 3
+    assert isinstance(batches[0], Batch)
+    dev_batches = list(prefetch_to_device(
+        ds.as_batches(batch_size=2, shuffle=False), size=2))
+    assert len(dev_batches) >= 1
+    assert hasattr(dev_batches[0].fhr_st, "devices")  # on device
+    ds.close()
+
+
+def test_trim_mismatch_raises(small_dataset):
+    path, stats_path, _ = small_dataset
+    with pytest.raises(ValueError):
+        CombinedHDF5Dataset(path, stats_path=stats_path, trim_minutes=2.0)
+
+
+def test_synthetic_signal_shapes(rng):
+    fhr, up = synthetic_fhr_up(5760, rng, n_windows=3)
+    assert fhr.shape == (3, 5760) and up.shape == (3, 5760)
+    assert 100 < fhr.mean() < 170  # plausible bpm
+    assert np.all(up >= 0)
+
+
+def test_normalize_traceable_matches_host(rng):
+    """The jnp path (used inside jit for on-the-fly eval coefficients) must
+    agree with the host NumPy path."""
+    import jax
+    c, s = 5, 16
+    x = np.abs(rng.standard_normal((2, c, s))).astype(np.float32)
+    mean = rng.standard_normal(c).astype(np.float32)
+    var = np.ones(c, np.float32)
+    st = default_field_stats("fhr_st", mean, var, n_channels=c)
+    host = np.asarray(normalize_field(x, "fhr_st", st))
+    traced = np.asarray(jax.jit(
+        lambda v: normalize_field(v, "fhr_st", st))(jnp.asarray(x)))
+    # TPU transcendental (log) accuracy is ~1e-4 vs host libm
+    np.testing.assert_allclose(traced, host, atol=3e-4)

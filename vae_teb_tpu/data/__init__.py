@@ -1,0 +1,18 @@
+"""Data layer: HDF5 schema, statistics, normalization, host ingest, synthesis."""
+
+from .dataset import Batch, CombinedHDF5Dataset, prefetch_to_device
+from .normalize import (FieldStats, apply_channel_transforms,
+                        default_field_stats, denormalize_field,
+                        normalize_field)
+from .schema import append_batch, append_sample, create_initial_hdf5, dataset_info
+from .stats import DatasetStatsCalculator, load_stats
+from .synthetic import build_dataset, find_flat_regions, passes_qc, synthetic_fhr_up
+
+__all__ = [
+    "Batch", "CombinedHDF5Dataset", "prefetch_to_device",
+    "FieldStats", "apply_channel_transforms", "default_field_stats",
+    "denormalize_field", "normalize_field",
+    "append_batch", "append_sample", "create_initial_hdf5", "dataset_info",
+    "DatasetStatsCalculator", "load_stats",
+    "build_dataset", "find_flat_regions", "passes_qc", "synthetic_fhr_up",
+]
