@@ -1,0 +1,209 @@
+"""Training stack: jitted steps, data-parallel parity, checkpointing,
+schedules, config."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+from vae_teb_tpu.models import SeqVaeTeb
+from vae_teb_tpu.parallel import data_parallel_mesh
+from vae_teb_tpu.train import (Checkpointer, Trainer, TrainerConfig,
+                               beta_schedule, cosine_warm_restarts,
+                               load_config, make_optimizer, save_config,
+                               transfer_params, RunConfig)
+
+S = 16  # short sequences keep the decoder heads tiny
+
+
+class MiniVae(nn.Module):
+    """Tiny stand-in exposing SeqVaeTeb's exact training interface (forward
+    dict + compute_loss + batch_stats + sample rng) so trainer-machinery
+    tests don't pay the full model's XLA compile each time. Full-model
+    training-step coverage lives in __graft_entry__.dryrun_multichip and
+    bench.py."""
+
+    @nn.compact
+    def __call__(self, y_st, y_ph, x_ph, train=True, deterministic=False):
+        h = jnp.concatenate([y_st, y_ph, x_ph], axis=-1)
+        h = nn.Dense(32)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.1)(h)
+        h = nn.relu(h)
+        mu_post = nn.Dense(8)(h)
+        logvar_post = nn.Dense(8)(h)
+        mu_prior = nn.Dense(8)(h)
+        logvar_prior = jnp.zeros_like(mu_prior)
+        if deterministic:
+            z = mu_post
+        else:
+            eps = jax.random.normal(self.make_rng("sample"), mu_post.shape)
+            z = mu_post + eps * jnp.exp(0.5 * logvar_post)
+        lin = nn.Dense(87)(z)
+        raw = nn.Dense(16)(z).reshape(z.shape[0], -1)
+        return {"z": z, "linear_output": lin, "mu_pr": raw,
+                "logvar_pr": jnp.zeros_like(raw), "mu_prior": mu_prior,
+                "logvar_prior": logvar_prior, "mu_post": mu_post,
+                "logvar_post": logvar_post}
+
+    compute_loss = staticmethod(SeqVaeTeb.compute_loss)
+
+
+def make_batch(rng, b=8):
+    return {
+        "fhr_st": rng.standard_normal((b, S, 43)).astype(np.float32),
+        "fhr_ph": rng.standard_normal((b, S, 44)).astype(np.float32),
+        "fhr_up_ph": rng.standard_normal((b, S, 130)).astype(np.float32),
+        "fhr": rng.standard_normal((b, S * 16)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def cpu_trainer(cpu_mesh_devices):
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    cfg = TrainerConfig(lr=1e-3, epochs=2, kld_beta=1e-5)
+    trainer = Trainer(MiniVae(), cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    state = trainer.init_state(make_batch(rng, b=2))
+    return trainer, state
+
+
+def test_train_step_updates_params(cpu_trainer):
+    trainer, state = cpu_trainer
+    batch = make_batch(np.random.default_rng(1))
+    new_state, metrics = trainer.train_step(state, batch, beta=1e-5)
+    assert int(new_state.step) == int(state.step) + 1
+    for k in ("total_loss", "mse_loss", "nll_loss", "kld_loss", "grad_norm"):
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    diff = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                        state.params, new_state.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_loss_decreases_on_repeated_batch(cpu_trainer):
+    trainer, state = cpu_trainer
+    batch = make_batch(np.random.default_rng(2))
+    losses = []
+    for _ in range(8):
+        state, metrics = trainer.train_step(state, batch, beta=0.0)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_step_deterministic(cpu_trainer):
+    trainer, state = cpu_trainer
+    batch = make_batch(np.random.default_rng(3))
+    m1 = trainer.eval_step(state, batch, beta=1e-5)
+    m2 = trainer.eval_step(state, batch, beta=1e-5)
+    assert float(m1["total_loss"]) == float(m2["total_loss"])
+
+
+def test_data_parallel_matches_single_device(cpu_mesh_devices):
+    """The same batch through an 8-device mesh and a 1-device mesh must
+    produce identical parameter updates: sharding is an implementation
+    detail, not a semantics change (sync-BN + global loss mean)."""
+    import optax
+    batch = make_batch(np.random.default_rng(4), b=8)
+    results = []
+    for n_dev in (1, 8):
+        mesh = data_parallel_mesh(devices=cpu_mesh_devices[:n_dev])
+        # plain SGD: the parameter delta IS the gradient (Adam would
+        # amplify reduction-order noise of near-zero grads into +-lr
+        # sign flips, which is not a sharding defect)
+        trainer = Trainer(MiniVae(), TrainerConfig(lr=1e-2), mesh=mesh,
+                          tx=optax.sgd(1e-2))
+        state0 = trainer.init_state(batch)
+        state, metrics = trainer.train_step(state0, batch, beta=1e-5)
+        delta = jax.tree.map(lambda a, b: np.asarray(a - b),
+                             jax.device_get(state.params),
+                             jax.device_get(state0.params))
+        results.append((float(metrics["total_loss"]), delta))
+    loss1, d1 = results[0]
+    loss8, d8 = results[1]
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    # tolerance scaled to the global update magnitude: leaves whose whole
+    # gradient is reduction-order noise (~1e-10) must not dominate
+    global_scale = max(np.abs(l).max() for l in jax.tree.leaves(d1))
+    for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d8)):
+        np.testing.assert_allclose(a, b, atol=1e-4 * global_scale)
+
+
+def test_fit_loop_with_early_stop_and_checkpoint(tmp_path, cpu_mesh_devices):
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    cfg = TrainerConfig(lr=1e-3, epochs=4, early_stop_patience=1,
+                        beta_schedule="linear", beta_anneal_epochs=4)
+    trainer = Trainer(MiniVae(), cfg, mesh=mesh)
+    rng = np.random.default_rng(5)
+    batches = [make_batch(rng) for _ in range(2)]
+    state = trainer.init_state(batches[0])
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), keep=2)
+    logs = []
+    state = trainer.fit(state, lambda e: iter(batches),
+                        val_batches=lambda e: iter(batches[:1]),
+                        checkpointer=ckpt, log_fn=logs.append)
+    assert trainer.history["train/total_loss"]
+    assert trainer.history["beta"][0] == 0.0  # linear anneal starts at 0
+    assert ckpt.best() is not None
+    # restore roundtrip
+    restored = ckpt.restore(state, best=True)
+    leaves_a = jax.tree.leaves(jax.device_get(restored.params))
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves_a)
+
+
+def test_beta_schedules():
+    lin = beta_schedule("linear", 0.0, 1.0, anneal_epochs=10)
+    assert lin(0) == 0.0 and lin(5) == 0.5 and lin(20) == 1.0
+    cyc = beta_schedule("cyclic", 0.0, 1.0, cycle_len=4)
+    assert cyc(0) == 0.0 and cyc(2) == 0.5 and cyc(4) == 0.0
+    const = beta_schedule("constant", const_val=1e-5)
+    assert const(123) == 1e-5
+    with pytest.raises(ValueError):
+        beta_schedule("bogus")(0)
+
+
+def test_cosine_warm_restarts():
+    sched = cosine_warm_restarts(1.0, t0_steps=100, eta_min_ratio=0.01)
+    assert abs(float(sched(0)) - 1.0) < 1e-6
+    mid = float(sched(50))
+    assert 0.4 < mid < 0.6
+    assert abs(float(sched(100)) - 1.0) < 1e-6  # warm restart
+
+
+def test_transfer_params_vae_into_classifier(cpu_mesh_devices):
+    from vae_teb_tpu.models import SeqVaeTebClassifier
+    with jax.default_device(cpu_mesh_devices[0]):
+        rng = jax.random.PRNGKey(0)
+        vae = SeqVaeTeb()
+        args = (jnp.ones((1, S, 43)), jnp.ones((1, S, 44)),
+                jnp.ones((1, S, 130)))
+        vae_vars = vae.init({"params": rng, "sample": rng}, *args,
+                            train=False)
+        cls = SeqVaeTebClassifier(classifier_depth=3, use_attention=False)
+        cls_vars = cls.init({"params": jax.random.PRNGKey(1), "sample": rng,
+                             "dropout": rng}, *args, train=False)
+    new_params, copied = transfer_params(vae_vars["params"],
+                                         cls_vars["params"],
+                                         dst_prefix=("vae_model",))
+    assert len(copied) > 50
+    src_leaf = np.asarray(jax.tree.leaves(
+        vae_vars["params"]["source_encoder"])[0])
+    dst_leaf = np.asarray(jax.tree.leaves(
+        new_params["vae_model"]["source_encoder"])[0])
+    np.testing.assert_array_equal(src_leaf, dst_leaf)
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = RunConfig(tag="t1")
+    cfg.dataset.train_paths = ["a.h5"]
+    cfg.trainer.lr = 0.01
+    p = str(tmp_path / "cfg.yaml")
+    save_config(cfg, p)
+    loaded = load_config(p, root=str(tmp_path))
+    assert loaded.trainer.lr == 0.01
+    assert loaded.dataset.train_paths == [str(tmp_path / "a.h5")]
+    d = loaded.run_dir(create=True)
+    assert os.path.isdir(os.path.join(d, "model_checkpoints"))

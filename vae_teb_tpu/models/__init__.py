@@ -1,0 +1,18 @@
+"""Model families: SeqVaeTeb + variants, InceptionTime classifier."""
+
+from .blocks import (LSTM, CausalConv1d, CausalConvBlock, ReflectConvBlock,
+                     ResidualMLP, geometric_schedule, linear_upsample)
+from .inception_time import (InceptionTimeClassifier, SeqVaeTebClassifier,
+                             cross_entropy_loss)
+from .vae_teb import (ConditionalEncoder, Decoder, SeqVaeTeb, SourceEncoder,
+                      TargetEncoder, decoder_loss, gaussian_kld, gaussian_nll,
+                      stitch_predictions)
+
+__all__ = [
+    "LSTM", "CausalConv1d", "CausalConvBlock", "ReflectConvBlock",
+    "ResidualMLP", "geometric_schedule", "linear_upsample",
+    "InceptionTimeClassifier", "SeqVaeTebClassifier", "cross_entropy_loss",
+    "ConditionalEncoder", "Decoder", "SeqVaeTeb", "SourceEncoder",
+    "TargetEncoder", "decoder_loss", "gaussian_kld", "gaussian_nll",
+    "stitch_predictions",
+]

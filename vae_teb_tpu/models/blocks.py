@@ -1,0 +1,228 @@
+"""Reusable model blocks: residual MLPs, causal/reflect conv blocks, LSTM.
+
+Flax re-design of the reference's building blocks
+(/root/reference/model/vae_teb_model.py:11-403). Layout is (B, S, C)
+throughout — sequence-major channels-last, the native layout for both the
+MXU (feature dim contiguous for matmuls) and flax convolutions — instead of
+the reference's repeated (B,C,S)<->(B,S,C) transposes around every conv.
+
+The LSTM is a per-layer `lax.scan` with the input projection hoisted out of
+the scan as one large (B*S, C) x (C, 4H) matmul: inside the scan only the
+(B, H) x (H, 4H) recurrent matmul remains. Gate order [i, f, g, o] matches
+torch so the forget-gate bias-init convention carries over.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+xavier = nn.initializers.xavier_uniform
+orthogonal = nn.initializers.orthogonal
+
+# torch BatchNorm1d(momentum=0.9) updates running = 0.1*running + 0.9*batch;
+# flax's momentum is the *keep* fraction, so the equivalent is 0.1
+# (reference vae_teb_model.py:175,230).
+BN_MOMENTUM = 0.1
+
+
+def geometric_schedule(input_size: int, output_size: int, n_hidden: int,
+                       round_fn=round) -> Tuple[int, ...]:
+    """Geometric interpolation of layer widths from input to output size;
+    returns n_hidden+1 sizes ending exactly at output_size
+    (reference vae_teb_model.py:11-44)."""
+    steps = n_hidden + 1
+    r = (output_size / input_size) ** (1.0 / steps)
+    sizes = []
+    cur = r
+    for _ in range(n_hidden):
+        sizes.append(int(round_fn(input_size * cur)))
+        cur *= r
+    sizes.append(output_size)
+    return tuple(sizes)
+
+
+def linear_upsample(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Linear 2x upsampling along the sequence axis of (B, S, C);
+    half-pixel-center convention (== torch interpolate align_corners=False)."""
+    b, s, c = x.shape
+    return jax.image.resize(x, (b, s * scale, c), method="linear")
+
+
+class ResidualMLP(nn.Module):
+    """LayerNorm(input) -> [Dense -> LN -> act]* -> optional skip-projection.
+
+    Matches the reference block structure (vae_teb_model.py:336-403): the
+    final layer drops act+LN when final_activation=False; the skip reads the
+    *normalized* input and projects when widths differ.
+    """
+    hidden_dims: Sequence[int]
+    final_activation: bool = True
+    activation: Callable = nn.relu
+    use_skip_connection: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x0 = nn.LayerNorm(dtype=self.dtype)(x)
+        y = x0
+        n = len(self.hidden_dims)
+        for i, width in enumerate(self.hidden_dims):
+            y = nn.Dense(width, kernel_init=xavier(), dtype=self.dtype)(y)
+            is_final = i == n - 1
+            if not is_final or self.final_activation:
+                y = nn.LayerNorm(dtype=self.dtype)(y)
+            if not is_final:
+                y = self.activation(y)
+        if self.final_activation:
+            y = self.activation(y)
+        if self.use_skip_connection:
+            if x.shape[-1] != self.hidden_dims[-1]:
+                skip = nn.Dense(self.hidden_dims[-1], kernel_init=xavier(),
+                                dtype=self.dtype, name="skip_proj")(x0)
+            else:
+                skip = x0
+            y = y + skip
+        return y
+
+
+class CausalConv1d(nn.Module):
+    """Left-padded 1-D convolution over (B, S, C): no future leakage
+    (reference vae_teb_model.py:77-125)."""
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel_size - 1) * self.dilation
+        x = jnp.pad(x, [(0, 0), (pad, 0), (0, 0)])
+        return nn.Conv(self.features, (self.kernel_size,),
+                       kernel_dilation=(self.dilation,), padding="VALID",
+                       use_bias=self.use_bias,
+                       feature_group_count=self.feature_group_count,
+                       kernel_init=xavier(), dtype=self.dtype)(x)
+
+
+class CausalConvBlock(nn.Module):
+    """Causal conv -> BatchNorm -> activation, optional 2x pre-upsample
+    (reference CausalMultiChannelConvBlock, vae_teb_model.py:128-212)."""
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    up_sampling: bool = False
+    up_sample_scale: int = 2
+    use_batch_norm: bool = True
+    activation: Callable = nn.relu
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.up_sampling:
+            x = linear_upsample(x, self.up_sample_scale)
+        y = CausalConv1d(self.features, self.kernel_size, self.dilation,
+                         use_bias=self.use_bias, dtype=self.dtype)(x)
+        if self.use_batch_norm:
+            # Batch stats reduce over (batch, seq); under sharded jit the
+            # batch-axis reduction is global => sync-BN across the mesh for
+            # free (the reference needed Lightning sync_batchnorm).
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, dtype=self.dtype)(y)
+        return self.activation(y)
+
+
+class ReflectConvBlock(nn.Module):
+    """Reflect-padded 'same' conv -> BN -> relu/tanh, optional 2x upsample
+    (reference MultiChannelConvBlock, vae_teb_model.py:214-253)."""
+    features: int
+    kernel_size: int
+    up_sampling: bool = False
+    up_sample_scale: int = 2
+    tanh: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.up_sampling:
+            x = linear_upsample(x, self.up_sample_scale)
+        p = (self.kernel_size - 1) // 2
+        if p > 0:
+            if x.shape[1] <= p:
+                x = jnp.pad(x, [(0, 0), (p, p), (0, 0)], mode="edge")
+            else:
+                x = jnp.pad(x, [(0, 0), (p, p), (0, 0)], mode="reflect")
+        y = nn.Conv(self.features, (self.kernel_size,), padding="VALID",
+                    use_bias=False, kernel_init=xavier(), dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=self.dtype)(y)
+        return jnp.tanh(y) if self.tanh else nn.relu(y)
+
+
+class LSTM(nn.Module):
+    """Multi-layer unidirectional LSTM over (B, S, C) via lax.scan.
+
+    Orthogonal kernels, zero biases with forget gate bias = 1
+    (reference initialization, vae_teb_model.py:60-70). `unroll` trades
+    compile time for fewer sequential steps on the TPU scalar pipeline.
+    """
+    hidden_size: int
+    num_layers: int = 1
+    # scan unroll: higher shrinks sequential-step overhead on TPU but
+    # multiplies the compiled graph size; 2 balances compile time against
+    # step latency (raise for production TPU runs via the constructor)
+    unroll: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                Tuple[jnp.ndarray, jnp.ndarray]]:
+        b, s, _ = x.shape
+        h_size = self.hidden_size
+
+        def forget_one_bias(key, shape, dtype=jnp.float32):
+            bias = jnp.zeros(shape, dtype)
+            return bias.at[h_size:2 * h_size].set(1.0)
+
+        h_last, c_last = [], []
+        for layer in range(self.num_layers):
+            in_dim = x.shape[-1]
+            w_ih = self.param(f"w_ih_{layer}", orthogonal(),
+                              (in_dim, 4 * h_size))
+            w_hh = self.param(f"w_hh_{layer}", orthogonal(),
+                              (h_size, 4 * h_size))
+            bias = self.param(f"bias_{layer}", forget_one_bias,
+                              (4 * h_size,))
+            # hoist the input projection out of the scan: one big matmul
+            x_proj = x.reshape(b * s, in_dim) @ w_ih
+            x_proj = (x_proj + bias).reshape(b, s, 4 * h_size)
+
+            def step(carry, xp, _w_hh=w_hh):
+                h, c = carry
+                gates = xp + h @ _w_hh
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+                g = jnp.tanh(g)
+                c = f * c + i * g
+                h = o * jnp.tanh(c)
+                return (h, c), h
+
+            init = (jnp.zeros((b, h_size), x.dtype),
+                    jnp.zeros((b, h_size), x.dtype))
+            (h_f, c_f), ys = jax.lax.scan(step, init,
+                                          jnp.swapaxes(x_proj, 0, 1),
+                                          unroll=self.unroll)
+            x = jnp.swapaxes(ys, 0, 1)
+            h_last.append(h_f)
+            c_last.append(c_f)
+        return x, (jnp.stack(h_last), jnp.stack(c_last))

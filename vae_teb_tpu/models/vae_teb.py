@@ -1,0 +1,306 @@
+"""SeqVaeTeb: sequence VAE with Target-Encoder-Bank conditioning.
+
+Flax re-design of the reference model family
+(/root/reference/model/vae_teb_model.py:406-1246), same information flow:
+
+  SourceEncoder   x_ph (B,S,130) -> mu_x (B,S,32)            [causal]
+  TargetEncoder   y_st (B,S,43), y_ph (B,S,44)
+                  -> mu_y (B,S,32), logvar_full (B,S,64)
+                  logvar_full splits into prior logvar + conditional feature
+  ConditionalEncoder  (mu_x, c_logvar) -> q(z|x,y); mu_post += mu_y
+  Decoder         z (B,S,32) -> linear_output (B,S,87),
+                  raw mu/logvar (B, 4800)
+
+Losses: MSE(linear_output, [y_st|y_ph]) + Gaussian NLL(raw) + beta * KL(q‖p)
+(reference :932-979, :1133-1192). Transfer entropy = KL(q‖p) per step/dim
+(:1194-1226).
+
+All loss/divergence math lives in pure functions so the training step, the
+evaluation suite, and the classifier reuse one implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .blocks import (CausalConvBlock, LSTM, ReflectConvBlock, ResidualMLP,
+                     geometric_schedule)
+
+
+# ---------------------------------------------------------------------------
+# pure loss / divergence functions
+# ---------------------------------------------------------------------------
+
+def gaussian_kld(mu_prior, logvar_prior, mu_post, logvar_post,
+                 reduce_mean: bool = True):
+    """KL( N(mu_post, e^{logvar_post}) ‖ N(mu_prior, e^{logvar_prior}) ),
+    elementwise analytic form (reference :1052-1082). reduce_mean sums the
+    latent dim then means over batch/time."""
+    kld = 0.5 * (logvar_prior - logvar_post - 1.0
+                 + (jnp.exp(logvar_post) + (mu_post - mu_prior) ** 2)
+                 / jnp.exp(logvar_prior))
+    if reduce_mean:
+        return kld.sum(axis=-1).mean()
+    return kld
+
+
+def gaussian_nll(mu, logvar, target):
+    """0.5 * (logvar + (target - mu)^2 / var), mean-reduced (reference
+    :969-973)."""
+    diff = target - mu
+    return (0.5 * (logvar + diff * diff / jnp.exp(logvar))).mean()
+
+
+def decoder_loss(linear_output, raw_mu, raw_logvar, y_st, y_ph, y_raw):
+    """MSE on the coefficient reconstruction + NLL on the raw signal
+    (reference Decoder.compute_loss, :932-979)."""
+    stacked_target = jnp.concatenate([y_st, y_ph], axis=-1)
+    mse = jnp.mean((linear_output - stacked_target) ** 2)
+    nll = gaussian_nll(raw_mu, raw_logvar, y_raw)
+    return {"mse_loss": mse, "nll_loss": nll,
+            "total_decoder_loss": mse + nll}
+
+
+def stitch_predictions(x: jnp.ndarray, stride: int = 16,
+                       new_len: int = 4800) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlap-average per-step windows onto the raw-signal grid.
+
+    x: (B, N, C) per-step length-C predictions placed at offsets i*stride.
+    Returns (stacked (B, K, new_len) with NaN where nothing lands, nan-mean
+    (B, new_len)). Replaces the reference's Python placement loop
+    (:1228-1246) with a static gather: output position j receives
+    contributions from steps i = j//stride - k, k in [0, C/stride).
+    """
+    b, n, c = x.shape
+    k_max = (c + stride - 1) // stride
+    j = np.arange(new_len)
+    ks = np.arange(k_max)[:, None]
+    i_idx = j[None, :] // stride - ks                      # (K, new_len)
+    c_idx = j[None, :] % stride + stride * ks
+    valid = (i_idx >= 0) & (i_idx < n) & (c_idx < c)
+    i_safe = np.clip(i_idx, 0, n - 1)
+    c_safe = np.clip(c_idx, 0, c - 1)
+    vals = x[:, jnp.asarray(i_safe), jnp.asarray(c_safe)]  # (B, K, new_len)
+    mask = jnp.asarray(valid)[None]
+    stacked = jnp.where(mask, vals, jnp.nan)
+    denom = jnp.maximum(mask.sum(axis=1), 1)
+    mean = jnp.where(mask, vals, 0.0).sum(axis=1) / denom
+    return stacked, mean
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+class TargetEncoder(nn.Module):
+    """y_st + y_ph -> (mu, logvar_full): per-modality MLP + causal convs,
+    cross-modal fusion, 4-layer LSTM, variational heads
+    (reference :406-586)."""
+    latent_dim: int = 32
+    lstm_hidden_dim: int = 64
+    lstm_num_layers: int = 4
+    n_scattering: int = 43
+    n_phase: int = 44
+
+    @nn.compact
+    def __call__(self, y_st, y_ph, train: bool = True):
+        sc = ResidualMLP(geometric_schedule(self.n_scattering, 16, 4),
+                         final_activation=False, activation=nn.gelu,
+                         name="mlp_scattering")(y_st)
+        ph = ResidualMLP(geometric_schedule(self.n_phase, 16, 4),
+                         final_activation=False, activation=nn.relu,
+                         name="mlp_phase")(y_ph)
+        for i, k in enumerate((3, 5, 7)):
+            sc = CausalConvBlock(16, k, name=f"conv_scattering_{i}")(sc, train)
+        sc = nn.LayerNorm(name="scatter_fused_norm")(sc)
+        for i, k in enumerate((3, 5, 7)):
+            ph = CausalConvBlock(16, k, name=f"conv_phase_{i}")(ph, train)
+        ph = nn.LayerNorm(name="phase_fused_norm")(ph)
+
+        x = jnp.concatenate([sc, ph], axis=-1)
+        x = ResidualMLP(geometric_schedule(32, 20, 5), final_activation=False,
+                        activation=nn.relu, name="cross_modal_fusion")(x)
+        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers,
+                    name="lstm")(x)
+        x = nn.LayerNorm(name="lstm_norm")(x)
+        x = ResidualMLP(geometric_schedule(self.lstm_hidden_dim, 32, 5),
+                        final_activation=True, activation=nn.relu,
+                        name="pre_output")(x)
+        mu = ResidualMLP(geometric_schedule(32, self.latent_dim, 32),
+                         final_activation=False, activation=nn.relu,
+                         name="mu_layer")(x)
+        logvar = ResidualMLP(geometric_schedule(32, 2 * self.latent_dim, 4),
+                             final_activation=False, activation=nn.relu,
+                             name="logvar_layer")(x)
+        return mu, jnp.clip(logvar, -10.0, 10.0)
+
+
+class SourceEncoder(nn.Module):
+    """x_ph -> mu_x: MLP channel reduction, causal convs, causal LSTM
+    (reference :589-740). Everything is unidirectional: the source encoding
+    at step t sees only x[<=t]."""
+    input_channels: int = 130
+    latent_dim: int = 32
+    lstm_hidden_dim: int = 64
+    lstm_num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ResidualMLP(geometric_schedule(self.input_channels, 32, 5),
+                        final_activation=False, activation=nn.relu,
+                        name="mlp")(x)
+        for i, k in enumerate((3, 5, 7)):
+            x = CausalConvBlock(32, k, name=f"conv_{i}")(x, train)
+        x = nn.LayerNorm(name="fused_norm")(x)
+        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers,
+                    name="lstm")(x)
+        x = nn.LayerNorm(name="lstm_norm")(x)
+        x = ResidualMLP(geometric_schedule(self.lstm_hidden_dim, 32, 4),
+                        final_activation=True, activation=nn.relu,
+                        name="pre_output")(x)
+        return ResidualMLP(geometric_schedule(32, self.latent_dim, 4),
+                           final_activation=False, activation=nn.relu,
+                           name="mu_layer")(x)
+
+
+class ConditionalEncoder(nn.Module):
+    """q(z | x, y): concat(mu_x, c_logvar) -> ResidualMLP chain -> mu/logvar
+    (reference :743-820). The geometric schedule 64->32 over 8 hidden layers
+    is split 5 (trunk) + 3 (each head), as in the reference (:766-789)."""
+    dim_hx: int = 32
+    dim_hy: int = 32
+    dim_z: int = 32
+
+    @nn.compact
+    def __call__(self, h_x, h_y):
+        dims = geometric_schedule(self.dim_hx + self.dim_hy, self.dim_z, 8)
+        h = jnp.concatenate([h_x, h_y], axis=-1)
+        h = ResidualMLP(dims[0:5], final_activation=True, activation=nn.relu,
+                        name="mlp")(h)
+        mu = ResidualMLP(dims[5:], final_activation=False,
+                         use_skip_connection=False, activation=nn.relu,
+                         name="fc_mu")(h)
+        logvar = ResidualMLP(dims[5:], final_activation=False,
+                             use_skip_connection=False, activation=nn.relu,
+                             name="fc_logvar")(h)
+        return mu, logvar
+
+
+class Decoder(nn.Module):
+    """z (B,S,32) -> (linear_output (B,S,87), raw mu/logvar (B, S*16)):
+    MLP trunk, 8 reflect-conv blocks with 4 2x-upsample stages
+    (S -> 16S), two dense reconstruction heads (reference :823-929)."""
+    latent_dim: int = 32
+    coeff_channels: int = 87  # 43 scattering + 44 phase
+    upsample_factor: int = 16
+
+    @nn.compact
+    def __call__(self, z, train: bool = True):
+        y = ResidualMLP(geometric_schedule(self.latent_dim, 50, 5),
+                        final_activation=True, activation=nn.relu,
+                        name="linear_0")(z)
+        linear_output = ResidualMLP(
+            geometric_schedule(50, self.coeff_channels, 5),
+            final_activation=True, activation=nn.relu, name="linear_1")(y)
+
+        conv_spec = [  # (features, kernel, upsample)
+            (77, 11, False), (66, 9, True), (55, 7, True), (44, 5, False),
+            (33, 5, True), (22, 3, True), (11, 3, False), (1, 3, False),
+        ]
+        x = linear_output
+        for i, (feat, k, up) in enumerate(conv_spec):
+            x = ReflectConvBlock(feat, k, up_sampling=up,
+                                 name=f"conv_{i}")(x, train)
+        raw_len = z.shape[1] * self.upsample_factor
+        x = x.reshape(x.shape[0], raw_len)
+        mu = ResidualMLP((raw_len, raw_len), final_activation=False,
+                         use_skip_connection=False, activation=nn.relu,
+                         name="output_mu")(x)
+        logvar = ResidualMLP((raw_len, raw_len), final_activation=False,
+                             use_skip_connection=False, activation=nn.relu,
+                             name="output_logvar")(x)
+        return linear_output, mu, logvar
+
+
+class SeqVaeTeb(nn.Module):
+    """Full TEB sequence VAE (reference :982-1246).
+
+    apply() needs rngs={"sample": key} when sample_posterior=True (training
+    and stochastic eval); deterministic=True uses the posterior mean.
+    """
+    latent_dim_source: int = 32
+    latent_dim_target: int = 32
+    latent_dim_z: int = 32
+    input_channels: int = 130
+    n_scattering: int = 43
+    n_phase: int = 44
+    decimation_factor: int = 16
+    warmup_period: int = 30
+
+    def setup(self):
+        self.source_encoder = SourceEncoder(
+            input_channels=self.input_channels,
+            latent_dim=self.latent_dim_source)
+        self.target_encoder = TargetEncoder(
+            latent_dim=self.latent_dim_target,
+            n_scattering=self.n_scattering, n_phase=self.n_phase)
+        self.conditional_encoder = ConditionalEncoder(
+            dim_hx=self.latent_dim_source, dim_hy=self.latent_dim_target,
+            dim_z=self.latent_dim_z)
+        self.decoder = Decoder(latent_dim=self.latent_dim_z,
+                               coeff_channels=self.n_scattering + self.n_phase,
+                               upsample_factor=self.decimation_factor)
+
+    def encode(self, y_st, y_ph, x_ph, train: bool = True):
+        """All three encoders; returns the distribution parameters."""
+        mu_x = self.source_encoder(x_ph, train)
+        mu_y, logvar_full = self.target_encoder(y_st, y_ph, train)
+        logvar_prior, c_logvar = jnp.split(logvar_full, 2, axis=-1)
+        mu_post, logvar_post = self.conditional_encoder(mu_x, c_logvar)
+        mu_post = mu_post + mu_y  # residual posterior mean (reference :1115)
+        return {"mu_x": mu_x, "mu_prior": mu_y, "logvar_prior": logvar_prior,
+                "mu_post": mu_post, "logvar_post": logvar_post}
+
+    def __call__(self, y_st, y_ph, x_ph, train: bool = True,
+                 deterministic: bool = False):
+        enc = self.encode(y_st, y_ph, x_ph, train)
+        if deterministic:
+            z = enc["mu_post"]
+        else:
+            eps = jax.random.normal(self.make_rng("sample"),
+                                    enc["mu_post"].shape,
+                                    enc["mu_post"].dtype)
+            z = enc["mu_post"] + eps * jnp.exp(0.5 * enc["logvar_post"])
+        linear_output, mu_pr, logvar_pr = self.decoder(z, train)
+        return {"z": z, "linear_output": linear_output,
+                "mu_pr": mu_pr, "logvar_pr": logvar_pr, **enc}
+
+    @staticmethod
+    def compute_loss(outputs: Dict, y_st, y_ph, y_raw,
+                     beta: float = 1.0, compute_kld_loss: bool = True) -> Dict:
+        losses = decoder_loss(outputs["linear_output"], outputs["mu_pr"],
+                              outputs["logvar_pr"], y_st, y_ph, y_raw)
+        kld = (gaussian_kld(outputs["mu_prior"], outputs["logvar_prior"],
+                            outputs["mu_post"], outputs["logvar_post"])
+               if compute_kld_loss else jnp.float32(0.0))
+        total = losses["total_decoder_loss"] + beta * kld
+        return {"reconstruction_loss": losses["total_decoder_loss"],
+                "mse_loss": losses["mse_loss"],
+                "nll_loss": losses["nll_loss"],
+                "kld_loss": kld, "total_loss": total}
+
+    def measure_transfer_entropy(self, y_st, y_ph, x_ph,
+                                 reduce_mean: bool = False):
+        """TE(source -> latent) = KL(q(z|x,y) ‖ p(z|y)) (reference
+        :1194-1226). Eval mode, no sampling needed."""
+        enc = self.encode(y_st, y_ph, x_ph, train=False)
+        return gaussian_kld(enc["mu_prior"], enc["logvar_prior"],
+                            enc["mu_post"], enc["logvar_post"],
+                            reduce_mean=reduce_mean)
+
+    get_predictions = staticmethod(stitch_predictions)

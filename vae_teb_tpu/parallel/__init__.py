@@ -1,0 +1,7 @@
+"""Device mesh construction and sharding policy."""
+
+from .mesh import (batch_sharding, data_parallel_mesh, replicated_sharding,
+                   shard_batch)
+
+__all__ = ["data_parallel_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch"]

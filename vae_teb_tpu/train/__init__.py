@@ -1,0 +1,15 @@
+"""Training: jitted steps, schedules, checkpointing, configuration."""
+
+from .checkpoint import Checkpointer, transfer_params
+from .config import (CheckpointConfig, DatasetConfig, ModelConfig, RunConfig,
+                     load_config, save_config)
+from .schedules import beta_schedule, cosine_warm_restarts, make_optimizer
+from .trainer import Trainer, TrainerConfig, TrainState
+
+__all__ = [
+    "Checkpointer", "transfer_params",
+    "CheckpointConfig", "DatasetConfig", "ModelConfig", "RunConfig",
+    "load_config", "save_config",
+    "beta_schedule", "cosine_warm_restarts", "make_optimizer",
+    "Trainer", "TrainerConfig", "TrainState",
+]

@@ -1,0 +1,63 @@
+"""Beta (KLD weight) and learning-rate schedules.
+
+Matches the reference's training dynamics:
+  - beta: constant / linear / cyclic per-epoch annealing
+    (/root/reference/model/pytorch_lightning_modules.py:442-461)
+  - LR: AdamW + CosineAnnealingWarmRestarts stepped per optimizer step with
+    T_0 = max_milestone // 4, T_mult = 1, eta_min = 0.01 * lr
+    (pytorch_lightning_modules.py:537-564)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import optax
+
+
+def beta_schedule(schedule: str = "linear", beta_start: float = 0.0,
+                  beta_end: float = 1.0, anneal_epochs: int = 100,
+                  cycle_len: int = 1000, const_val: float = 1.0
+                  ) -> Callable[[int], float]:
+    """Per-epoch KLD weight."""
+    def fn(epoch: int) -> float:
+        if schedule == "linear":
+            progress = min(1.0, epoch / anneal_epochs)
+            return beta_start + (beta_end - beta_start) * progress
+        if schedule == "cyclic":
+            progress = (epoch % cycle_len) / cycle_len
+            return beta_start + (beta_end - beta_start) * progress
+        if schedule == "constant":
+            return const_val
+        raise ValueError(f"unknown beta schedule: {schedule}")
+    return fn
+
+
+def cosine_warm_restarts(base_lr: float, t0_steps: int,
+                         eta_min_ratio: float = 0.01,
+                         n_cycles: int = 64) -> optax.Schedule:
+    """Cosine annealing with warm restarts (T_mult=1): identical cosine
+    cycles of t0_steps, floored at eta_min_ratio * base_lr."""
+    t0_steps = max(int(t0_steps), 1)
+
+    def fn(step):
+        import jax.numpy as jnp
+        pos = (step % t0_steps) / t0_steps
+        cos = 0.5 * (1.0 + jnp.cos(math.pi * pos))
+        return base_lr * (eta_min_ratio + (1.0 - eta_min_ratio) * cos)
+    return fn
+
+
+def make_optimizer(lr, grad_clip_norm: float = 0.5,
+                   weight_decay: float = 1e-4,
+                   b1: float = 0.9, b2: float = 0.999,
+                   eps: float = 1e-8) -> optax.GradientTransformation:
+    """AdamW chain with global-norm clipping (reference grad-clip 0.5 via
+    Lightning, graph_model.py:511; weight decay 1e-4, lightning module
+    :541-546)."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip_norm),
+        optax.adamw(learning_rate=lr, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay),
+    )
