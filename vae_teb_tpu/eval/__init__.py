@@ -1,0 +1,16 @@
+"""Evaluation: transfer entropy, reconstruction metrics, causality analyses."""
+
+from .analyses import (GAINS_DEFAULT, SHIFT_SECONDS_DEFAULT, ModelEvaluator)
+from .metrics import (calculate_vaf, discretize_signal,
+                      gaussian_log_likelihood, gaussian_mutual_information,
+                      histogram_mutual_information, interpolate_latent,
+                      reconstruction_metrics)
+from .suite import run_evaluation_suite
+
+__all__ = [
+    "ModelEvaluator", "SHIFT_SECONDS_DEFAULT", "GAINS_DEFAULT",
+    "calculate_vaf", "discretize_signal", "gaussian_log_likelihood",
+    "gaussian_mutual_information", "histogram_mutual_information",
+    "interpolate_latent", "reconstruction_metrics",
+    "run_evaluation_suite",
+]

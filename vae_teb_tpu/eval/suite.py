@@ -1,0 +1,126 @@
+"""Full evaluation orchestrator — the `run_tests` equivalent.
+
+Mirrors the reference's test battery entry point
+(/root/reference/model/graph_model.py:910-985): GUID preselection, the
+per-sample analysis plots, metric histograms, UP ablation, TE-vs-shift, and
+the UP gain sweep, writing figures + pickles into an output directory.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..data.dataset import CombinedHDF5Dataset
+from .analyses import (GAINS_DEFAULT, SHIFT_SECONDS_DEFAULT, ModelEvaluator)
+from . import plots
+
+
+def run_evaluation_suite(evaluator: ModelEvaluator,
+                         dataset: CombinedHDF5Dataset,
+                         out_dir: str,
+                         raw_dataset: Optional[CombinedHDF5Dataset] = None,
+                         num_samples: int = 50,
+                         batch_size: int = 4,
+                         shift_samples: int = 4,
+                         shift_seconds: Sequence[int] = SHIFT_SECONDS_DEFAULT,
+                         gains: Sequence[float] = GAINS_DEFAULT,
+                         seed: int = 0,
+                         run_shift_analysis: bool = True,
+                         run_gain_sweep: bool = True) -> Dict:
+    """Run every analysis and write artifacts under out_dir.
+
+    `dataset`: trimmed + normalized, drives metrics/ablation/plots.
+    `raw_dataset`: *untrimmed*, with normalized coefficient fields but raw
+    (unnormalized) fhr/up — drives the shift/gain analyses, which recompute
+    scattering from the raw traces and trim inside the device program
+    (the reference uses the same two-dataset split, :1253-1276).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    results: Dict = {}
+
+    # 1) deterministic GUID preselection (reference :953-975)
+    rng = np.random.default_rng(seed)
+    n = min(num_samples, len(dataset))
+    sample_ids = rng.choice(len(dataset), size=n, replace=False)
+    results["selected_indices"] = sample_ids
+
+    def batches():
+        for start in range(0, n, batch_size):
+            yield dataset.collate(sample_ids[start:start + batch_size])
+
+    # 2) metrics histograms + pickle (reference :1510-1680)
+    metrics = evaluator.reconstruction_analysis(
+        batches(), pickle_path=os.path.join(out_dir, "metrics.pkl"))
+    plots.plot_metrics_histograms(
+        metrics, os.path.join(out_dir, "metrics_histograms.png"))
+    results["metrics"] = metrics
+
+    # 3) per-sample analysis plots (reference :987-1208)
+    for k in sample_ids[:min(4, n)]:
+        s = dataset[int(k)]
+        analysis = evaluator.analyze_sample(s["fhr_st"][None],
+                                            s["fhr_ph"][None],
+                                            s["fhr_up_ph"][None])
+        out = analysis["outputs"]
+        guid = str(s.get("guid", k)).replace("/", "_")
+        plots.plot_model_analysis(
+            np.asarray(s["fhr"]), out["mu_pr"][0], analysis["te_map"][0],
+            out["z"][0],
+            os.path.join(out_dir, f"analysis_{guid}_{k}.png"),
+            title=f"guid={guid}")
+        plots.plot_vae_reconstruction(
+            np.asarray(s["fhr"]), out["mu_pr"][0], out["logvar_pr"][0],
+            os.path.join(out_dir, f"reconstruction_{guid}_{k}.png"),
+            title=f"guid={guid}")
+
+    # 4) UP ablation (reference :1682-1777)
+    ablation = evaluator.up_ablation(batches())
+    plots.plot_te_ablation_results(
+        ablation, os.path.join(out_dir, "up_ablation.png"))
+    results["ablation"] = ablation
+
+    # 5) TE vs shift, per sample (reference :1210-1441)
+    if run_shift_analysis and evaluator.scattering is not None \
+            and raw_dataset is not None:
+        shift_results = []
+        n_raw = len(raw_dataset)
+        for k in sample_ids[:shift_samples]:
+            if int(k) >= n_raw:
+                continue
+            s = raw_dataset[int(k)]
+            res = evaluator.te_shift_analysis(
+                s["fhr"], s["up"], s["fhr_st"], s["fhr_ph"],
+                shift_seconds=shift_seconds)
+            shift_results.append(res["te"])
+            plots.plot_transfer_entropy_vs_shift(
+                res["shift_seconds"], res["te"],
+                os.path.join(out_dir, f"te_shift_{k}.png"),
+                title=f"sample {k}")
+        if shift_results:
+            results["te_shift"] = {
+                "shift_seconds": np.asarray(shift_seconds),
+                "te": np.stack(shift_results)}
+
+    # 6) UP gain sweep (reference :1779-1870)
+    if run_gain_sweep and evaluator.scattering is not None \
+            and raw_dataset is not None:
+        gain_results = []
+        n_raw = len(raw_dataset)
+        for k in sample_ids[:shift_samples]:
+            if int(k) >= n_raw:
+                continue
+            s = raw_dataset[int(k)]
+            res = evaluator.up_gain_sweep(s["fhr"], s["up"], s["fhr_st"],
+                                          s["fhr_ph"], gains=gains)
+            gain_results.append(res["te"])
+        if gain_results:
+            te_all = np.stack(gain_results)
+            plots.plot_te_gain_sweep(
+                np.asarray(gains), te_all,
+                os.path.join(out_dir, "te_gain_sweep.png"))
+            results["gain_sweep"] = {"gains": np.asarray(gains), "te": te_all}
+
+    return results

@@ -7,6 +7,10 @@ from .inception_time import (InceptionTimeClassifier, SeqVaeTebClassifier,
 from .vae_teb import (ConditionalEncoder, Decoder, SeqVaeTeb, SourceEncoder,
                       TargetEncoder, decoder_loss, gaussian_kld, gaussian_nll,
                       stitch_predictions)
+from .variants import (ConvWindowDecoder, DirectWindowDecoder,
+                       PredictStDecoder, SeqVaeTebForecast, SeqVaeTebPredictSt,
+                       future_window_targets, ldam_loss, predict_st_loss,
+                       sliding_window_nll)
 
 __all__ = [
     "LSTM", "CausalConv1d", "CausalConvBlock", "ReflectConvBlock",
@@ -15,4 +19,7 @@ __all__ = [
     "ConditionalEncoder", "Decoder", "SeqVaeTeb", "SourceEncoder",
     "TargetEncoder", "decoder_loss", "gaussian_kld", "gaussian_nll",
     "stitch_predictions",
+    "ConvWindowDecoder", "DirectWindowDecoder", "PredictStDecoder",
+    "SeqVaeTebForecast", "SeqVaeTebPredictSt", "future_window_targets",
+    "ldam_loss", "predict_st_loss", "sliding_window_nll",
 ]

@@ -208,12 +208,20 @@ class Decoder(nn.Module):
             geometric_schedule(50, self.coeff_channels, 5),
             final_activation=True, activation=nn.relu, name="linear_1")(y)
 
-        conv_spec = [  # (features, kernel, upsample)
+        # Base spec has 4 2x-upsample stages (factor 16, the production
+        # decimation). For other power-of-two factors the first log2(f)
+        # upsample slots are kept and the rest run at constant length.
+        n_up = int(np.log2(self.upsample_factor))
+        if 2 ** n_up != self.upsample_factor or n_up > 4:
+            raise ValueError("upsample_factor must be a power of two <= 16")
+        up_slots = iter([True] * n_up + [False] * (4 - n_up))
+        conv_spec = [  # (features, kernel, upsample-slot?)
             (77, 11, False), (66, 9, True), (55, 7, True), (44, 5, False),
             (33, 5, True), (22, 3, True), (11, 3, False), (1, 3, False),
         ]
         x = linear_output
-        for i, (feat, k, up) in enumerate(conv_spec):
+        for i, (feat, k, is_slot) in enumerate(conv_spec):
+            up = next(up_slots) if is_slot else False
             x = ReflectConvBlock(feat, k, up_sampling=up,
                                  name=f"conv_{i}")(x, train)
         raw_len = z.shape[1] * self.upsample_factor
