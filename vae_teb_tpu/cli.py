@@ -1,0 +1,234 @@
+"""Command-line entry point: train / evaluate / build-data / stats.
+
+Replaces the reference's __main__ mode literals and torchrun launcher
+(/root/reference/model/graph_model.py:1873-2158, run_train_ddp.sh) with a
+real CLI over the typed RunConfig. Data parallelism needs no process
+launcher: the jitted train step spans every local device through the mesh
+(multi-host would add jax.distributed.initialize, parallel/mesh.py).
+
+    python -m vae_teb_tpu.cli train  --config config.yaml
+    python -m vae_teb_tpu.cli test   --config config.yaml --checkpoint DIR
+    python -m vae_teb_tpu.cli build-data --out data.h5 --records 64
+    python -m vae_teb_tpu.cli stats  --data data.h5 --out stats.h5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _make_model(cfg):
+    from .models import SeqVaeTeb
+    m = cfg.model
+    return SeqVaeTeb(latent_dim_source=m.latent_dim_source,
+                     latent_dim_target=m.latent_dim_target,
+                     latent_dim_z=m.latent_dim_z,
+                     input_channels=m.input_channels,
+                     n_scattering=m.n_scattering, n_phase=m.n_phase,
+                     decimation_factor=m.decimation_factor,
+                     warmup_period=m.warmup_period)
+
+
+def _loaders(cfg, split: str):
+    from .data import CombinedHDF5Dataset
+    ds_cfg = cfg.dataset
+    paths = {"train": ds_cfg.train_paths, "val": ds_cfg.validation_paths,
+             "test": ds_cfg.test_paths}[split]
+    if not paths:
+        return None
+    return CombinedHDF5Dataset(
+        paths, stats_path=ds_cfg.stat_path,
+        normalize_fields=ds_cfg.normalize_fields,
+        trim_minutes=ds_cfg.trim_minutes, decimation=ds_cfg.decimation,
+        cache_size=ds_cfg.cache_size)
+
+
+def cmd_train(args) -> int:
+    from .train import Checkpointer, Trainer, load_config
+    from .utils import get_logger, setup_logging
+    from .eval.plots import plot_loss_curves
+
+    cfg = load_config(args.config, root=args.root)
+    run_dir = cfg.run_dir()
+    setup_logging(os.path.join(run_dir, "train_results", "train.log"))
+    log = get_logger()
+    log.info("run dir: %s", run_dir)
+
+    train_ds = _loaders(cfg, "train")
+    val_ds = _loaders(cfg, "val")
+    if train_ds is None:
+        log.error("no train_paths configured")
+        return 2
+
+    model = _make_model(cfg)
+    trainer = Trainer(model, cfg.trainer)
+    bs = cfg.dataset.batch_size
+    n_dev = trainer.mesh.devices.size
+    global_bs = bs * n_dev
+    log.info("devices=%d per-device-batch=%d global-batch=%d",
+             n_dev, bs, global_bs)
+
+    state = trainer.init_state(train_ds.collate(range(min(2, len(train_ds)))))
+    ckpt = Checkpointer(os.path.join(run_dir, "model_checkpoints"),
+                        keep=cfg.checkpoints.keep)
+
+    def train_batches(epoch):
+        return train_ds.as_batches(global_bs, shuffle=True, seed=epoch)
+
+    def val_batches(epoch):
+        if val_ds is None:
+            return iter(())
+        return val_ds.as_batches(cfg.dataset.eval_batch_size, shuffle=False,
+                                 drop_last=False)
+
+    state = trainer.fit(state, train_batches,
+                        val_batches if val_ds is not None else None,
+                        checkpointer=ckpt, log_fn=log.info)
+    with open(os.path.join(run_dir, "train_results", "history.pkl"),
+              "wb") as f:
+        pickle.dump(trainer.history, f)
+    plot_loss_curves(trainer.history,
+                     os.path.join(run_dir, "train_results", "loss_curves.png"))
+    log.info("training complete: best checkpoint %s", ckpt.best())
+    return 0
+
+
+def cmd_test(args) -> int:
+    import jax
+    from .data import CombinedHDF5Dataset, load_stats
+    from .eval import ModelEvaluator, run_evaluation_suite
+    from .ops import PhaseScattering1D
+    from .train import Checkpointer, Trainer, load_config
+    from .utils import get_logger, setup_logging
+
+    cfg = load_config(args.config, root=args.root)
+    run_dir = cfg.run_dir()
+    out_dir = os.path.join(run_dir, "test_results")
+    setup_logging(os.path.join(out_dir, "test.log"))
+    log = get_logger()
+
+    test_ds = _loaders(cfg, "test") or _loaders(cfg, "val")
+    if test_ds is None:
+        log.error("no test/validation paths configured")
+        return 2
+
+    model = _make_model(cfg)
+    trainer = Trainer(model, cfg.trainer)
+    state = trainer.init_state(test_ds.collate(range(min(2, len(test_ds)))))
+    ckpt_dir = args.checkpoint or cfg.checkpoints.test_checkpoint_path
+    if ckpt_dir:
+        ckpt = Checkpointer(ckpt_dir, keep=cfg.checkpoints.keep)
+        state = ckpt.restore(state, best=True)
+        log.info("restored best checkpoint from %s", ckpt_dir)
+    else:
+        log.warning("no checkpoint given: evaluating a fresh model")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    scattering = None
+    stats = None
+    raw_ds = None
+    if args.with_scattering:
+        scattering = PhaseScattering1D(J=11, Q=4, T=16, shape=5760,
+                                       max_order=1)
+        if cfg.dataset.stat_path:
+            stats = load_stats(cfg.dataset.stat_path)
+        raw_paths = cfg.dataset.test_paths or cfg.dataset.validation_paths
+        raw_ds = CombinedHDF5Dataset(
+            raw_paths, stats_path=cfg.dataset.stat_path,
+            normalize_fields=("fhr_st", "fhr_ph", "fhr_up_ph"),
+            cache_size=0, allow_stats_trim_mismatch=True)
+    sel_subset = None
+    if scattering is not None:
+        sel = scattering.optimal_fhr_selection()
+        sel_subset = sel["cross_selection"]["selected_indices"]
+
+    evaluator = ModelEvaluator(model, variables, scattering=scattering,
+                               stats=stats, cross_subset=sel_subset)
+    results = run_evaluation_suite(
+        evaluator, test_ds, out_dir, raw_dataset=raw_ds,
+        num_samples=args.num_samples,
+        run_shift_analysis=args.with_scattering,
+        run_gain_sweep=args.with_scattering)
+    log.info("evaluation artifacts in %s", out_dir)
+    m = results["metrics"]
+    log.info("VAF %.4f+-%.4f  MSE %.5f  SNR %.2f dB  TE %.5f",
+             m["vaf"].mean(), m["vaf"].std(), m["mse"].mean(),
+             m["snr_db"].mean(), m["kld"].mean())
+    return 0
+
+
+def cmd_build_data(args) -> int:
+    from .data import DatasetStatsCalculator, build_dataset
+    res = build_dataset(args.out, n_records=args.records,
+                        windows_per_record=args.windows,
+                        len_signal=args.len_signal, seed=args.seed,
+                        J=args.J, Q=args.Q, T=args.T)
+    print(f"built {args.out}: {res}")
+    if args.stats_out:
+        calc = DatasetStatsCalculator(trim_minutes=args.trim_minutes)
+        stats = calc.calculate_stats([args.out])
+        calc.save_stats(stats, args.stats_out)
+        print(f"stats written to {args.stats_out}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .data import DatasetStatsCalculator
+    calc = DatasetStatsCalculator(trim_minutes=args.trim_minutes)
+    stats = calc.calculate_stats(args.data)
+    calc.save_stats(stats, args.out)
+    print(f"stats over {len(args.data)} file(s) written to {args.out}")
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="vae_teb_tpu",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pt = sub.add_parser("train", help="train the SeqVaeTeb model")
+    pt.add_argument("--config", required=True)
+    pt.add_argument("--root", default=None,
+                    help="root for relative dataset paths")
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("test", help="run the evaluation suite")
+    pe.add_argument("--config", required=True)
+    pe.add_argument("--root", default=None)
+    pe.add_argument("--checkpoint", default=None)
+    pe.add_argument("--num-samples", type=int, default=50)
+    pe.add_argument("--with-scattering", action="store_true",
+                    help="enable shift/gain analyses (on-device scattering)")
+    pe.set_defaults(fn=cmd_test)
+
+    pb = sub.add_parser("build-data", help="build a synthetic dataset")
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--records", type=int, default=16)
+    pb.add_argument("--windows", type=int, default=4)
+    pb.add_argument("--len-signal", type=int, default=5760)
+    pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument("--J", type=int, default=11)
+    pb.add_argument("--Q", type=int, default=4)
+    pb.add_argument("--T", type=int, default=16)
+    pb.add_argument("--stats-out", default=None)
+    pb.add_argument("--trim-minutes", type=float, default=2.0)
+    pb.set_defaults(fn=cmd_build_data)
+
+    ps = sub.add_parser("stats", help="compute normalization statistics")
+    ps.add_argument("--data", nargs="+", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--trim-minutes", type=float, default=None)
+    ps.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,6 +5,7 @@ from .normalize import (FieldStats, apply_channel_transforms,
                         default_field_stats, denormalize_field,
                         normalize_field)
 from .schema import append_batch, append_sample, create_initial_hdf5, dataset_info
+from .splits import create_cv_splits, guid_label_splits
 from .stats import DatasetStatsCalculator, load_stats
 from .synthetic import build_dataset, find_flat_regions, passes_qc, synthetic_fhr_up
 
@@ -14,5 +15,6 @@ __all__ = [
     "denormalize_field", "normalize_field",
     "append_batch", "append_sample", "create_initial_hdf5", "dataset_info",
     "DatasetStatsCalculator", "load_stats",
+    "create_cv_splits", "guid_label_splits",
     "build_dataset", "find_flat_regions", "passes_qc", "synthetic_fhr_up",
 ]

@@ -113,6 +113,7 @@ def build_dataset(path: str,
                   len_signal: int = 5760,
                   seed: int = 0,
                   transform: Optional[PhaseScattering1D] = None,
+                  J: int = 11, Q: int = 4, T: int = 16,
                   batch_size: int = 4,
                   pre_defined_target: float = 1.0,
                   cs_label: bool = False,
@@ -125,7 +126,7 @@ def build_dataset(path: str,
     on the host.
     """
     rng = np.random.default_rng(seed)
-    sc = transform or PhaseScattering1D(J=11, Q=4, T=16, shape=len_signal,
+    sc = transform or PhaseScattering1D(J=J, Q=Q, T=T, shape=len_signal,
                                         max_order=1)
     sel = sc.optimal_fhr_selection()
     phase_idx = sel["phase_selection"]["selected_indices"]

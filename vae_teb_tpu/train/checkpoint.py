@@ -46,6 +46,9 @@ class Checkpointer:
     def save(self, state, step: int, metric: Optional[float] = None) -> None:
         path = self._path(step)
         self._ckptr.save(path, jax.device_get(state), force=True)
+        # block until committed: async background saves race interpreter
+        # shutdown in short-lived CLI runs
+        self._ckptr.wait_until_finished()
         self._index.append({"step": step, "metric": metric, "path": path})
         self._gc()
         with open(self._index_path, "w") as f:

@@ -43,6 +43,7 @@ class DatasetConfig:
     stat_path: Optional[str] = None
     normalize_fields: Optional[List[str]] = None
     trim_minutes: Optional[float] = 2.0
+    decimation: int = 16  # raw-to-sequence ratio (T), for trim arithmetic
     cache_size: int = 2000
     batch_size: int = 2
     eval_batch_size: int = 4
