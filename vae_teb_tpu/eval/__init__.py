@@ -1,6 +1,11 @@
 """Evaluation: transfer entropy, reconstruction metrics, causality analyses."""
 
 from .analyses import (GAINS_DEFAULT, SHIFT_SECONDS_DEFAULT, ModelEvaluator)
+from .classification import (aggregate_fold_results, auc,
+                             binary_classification_report,
+                             confusion_at_threshold, latent_class_statistics,
+                             plot_roc_pr_curves, roc_curve,
+                             strike_rate_analysis)
 from .metrics import (calculate_vaf, discretize_signal,
                       gaussian_log_likelihood, gaussian_mutual_information,
                       histogram_mutual_information, interpolate_latent,
@@ -13,4 +18,7 @@ __all__ = [
     "gaussian_mutual_information", "histogram_mutual_information",
     "interpolate_latent", "reconstruction_metrics",
     "run_evaluation_suite",
+    "aggregate_fold_results", "auc", "binary_classification_report",
+    "confusion_at_threshold", "latent_class_statistics",
+    "plot_roc_pr_curves", "roc_curve", "strike_rate_analysis",
 ]

@@ -1,6 +1,7 @@
 """Training: jitted steps, schedules, checkpointing, configuration."""
 
 from .checkpoint import Checkpointer, transfer_params
+from .classifier import ClassifierConfig, ClassifierTrainer, train_and_test_folds
 from .config import (CheckpointConfig, DatasetConfig, ModelConfig, RunConfig,
                      load_config, save_config)
 from .schedules import beta_schedule, cosine_warm_restarts, make_optimizer
@@ -8,6 +9,7 @@ from .trainer import Trainer, TrainerConfig, TrainState
 
 __all__ = [
     "Checkpointer", "transfer_params",
+    "ClassifierConfig", "ClassifierTrainer", "train_and_test_folds",
     "CheckpointConfig", "DatasetConfig", "ModelConfig", "RunConfig",
     "load_config", "save_config",
     "beta_schedule", "cosine_warm_restarts", "make_optimizer",
