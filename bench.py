@@ -15,6 +15,7 @@ benchmarks/reference_cpu.py and recorded in BASELINE.md.
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -43,7 +44,7 @@ def main():
     from vae_teb_tpu.models import SeqVaeTeb
     from vae_teb_tpu.ops import PhaseScattering1D
 
-    B, N = 8, 5760
+    B, N = 32, 5760
     trim = 30
     sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1)
     sel = sc.optimal_fhr_selection()
@@ -63,11 +64,12 @@ def main():
                      optax.adamw(1e-4, weight_decay=1e-4))
     opt_state = tx.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def pipeline_step(params, batch_stats, opt_state, fhr, up, raw, key):
         out_ph = sc._forward(fhr, True, False, phase_subset=phase_idx)
         x2 = jnp.stack([fhr, up], axis=1)
-        out_cr = sc._forward(x2, False, True, cross_subset=cross_idx)
+        out_cr = sc._forward(x2, False, True, cross_subset=cross_idx,
+                             compute_scattering=False)
         sl = slice(trim, sc.scattering.n_out - trim)
         y_st = jnp.swapaxes(out_ph["scattering"][:, :, sl], 1, 2)
         y_ph = jnp.swapaxes(out_ph["phase_corr"][:, :, sl], 1, 2)

@@ -293,3 +293,17 @@ def test_normalize_traceable_matches_host(rng):
         lambda v: normalize_field(v, "fhr_st", st))(jnp.asarray(x)))
     # TPU transcendental (log) accuracy is ~1e-4 vs host libm
     np.testing.assert_allclose(traced, host, atol=3e-4)
+
+
+def test_inspect_and_plot_sample(small_dataset, tmp_path):
+    from vae_teb_tpu.data import describe_hdf5, format_report, plot_sample
+    path, _, _ = small_dataset
+    desc = describe_hdf5(path)
+    assert desc["n_samples"] > 0
+    assert "fhr_up_ph" in desc["fields"]
+    report = format_report(desc)
+    assert "fhr_st" in report and "MB" in report
+    import os
+    p = str(tmp_path / "sample.png")
+    plot_sample(path, 0, p)
+    assert os.path.exists(p)

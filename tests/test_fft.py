@@ -67,3 +67,17 @@ def test_grad_flows(rng):
     # Parseval: d/dx sum|F x|^2 = 2 N x
     np.testing.assert_allclose(np.asarray(g), 2 * 64 * np.asarray(x),
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("keep", [512, 1024, 100])
+def test_fft_truncated(keep, rng):
+    from vae_teb_tpu.ops.fft import fft_truncated
+    x = (rng.standard_normal((2, 8192))
+         + 1j * rng.standard_normal((2, 8192))).astype(np.complex64)
+    fr, fi = jax.jit(lambda r, i: fft_truncated(r, i, keep))(
+        jnp.asarray(x.real), jnp.asarray(x.imag))
+    ref = np.fft.fft(x)[:, :keep]
+    assert fr.shape == (2, keep)
+    scale = np.abs(np.fft.fft(x)).max()
+    np.testing.assert_allclose(np.asarray(fr), ref.real, atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(fi), ref.imag, atol=3e-6 * scale)

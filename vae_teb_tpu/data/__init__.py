@@ -1,6 +1,7 @@
 """Data layer: HDF5 schema, statistics, normalization, host ingest, synthesis."""
 
 from .dataset import Batch, CombinedHDF5Dataset, prefetch_to_device
+from .inspect import describe_hdf5, format_report, plot_sample
 from .normalize import (FieldStats, apply_channel_transforms,
                         default_field_stats, denormalize_field,
                         normalize_field)
@@ -11,6 +12,7 @@ from .synthetic import build_dataset, find_flat_regions, passes_qc, synthetic_fh
 
 __all__ = [
     "Batch", "CombinedHDF5Dataset", "prefetch_to_device",
+    "describe_hdf5", "format_report", "plot_sample",
     "FieldStats", "apply_channel_transforms", "default_field_stats",
     "denormalize_field", "normalize_field",
     "append_batch", "append_sample", "create_initial_hdf5", "dataset_info",

@@ -165,7 +165,7 @@ def build_dataset(path: str,
             out_ph = sc(jnp.asarray(fb), compute_phase=True,
                         phase_subset=phase_idx)
             out_cr = sc(x2, compute_phase=False, compute_cross_phase=True,
-                        cross_subset=cross_idx)
+                        cross_subset=cross_idx, compute_scattering=False)
             st = np.asarray(out_ph["scattering"])
             ph = np.asarray(out_ph["phase_corr"])
             cr = np.asarray(out_cr["cross_phase_corr"])

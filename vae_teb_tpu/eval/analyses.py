@@ -136,7 +136,8 @@ class ModelEvaluator:
         # channel 0 = FHR (acceleration source), 1 = UP: the production ETL
         # stacking (reference create_hdf5_dataset.py:420,433-437)
         x2 = jnp.stack([fhr_b, up_variants], axis=1)
-        out = sc._forward(x2, False, True, cross_subset=self.cross_subset)
+        out = sc._forward(x2, False, True, cross_subset=self.cross_subset,
+                          compute_scattering=False)
         coeffs = out["cross_phase_corr"]                 # (K, C, S)
         coeffs = normalize_field(coeffs, "fhr_up_ph", st, channel_axis=-2)
         coeffs = jnp.swapaxes(coeffs, 1, 2)              # (K, S, C)

@@ -125,6 +125,52 @@ def fft(re: Array, im: Optional[Array] = None) -> Tuple[Array, Array]:
     return _fft_lastaxis(re, im, inverse=False)
 
 
+def fft_truncated(re: Array, im: Optional[Array], keep: int
+                  ) -> Tuple[Array, Array]:
+    """Forward DFT returning only bins [0, keep).
+
+    In the four-step factorization the output index is k = k1 + n1*k2, so
+    keeping k < keep == m*n1 means evaluating only m columns of the
+    second-stage DFT — the low-pass + frequency-crop decimation consumer
+    (ops.phase._phi_decimate) never pays for the 15/16 of the spectrum it
+    would immediately discard. Falls back to a full transform + slice when
+    keep doesn't align to the factorization.
+    """
+    n = re.shape[-1]
+    if keep >= n:
+        return _fft_lastaxis(re, im, inverse=False)
+    if n <= _DIRECT_MAX or n & (n - 1):
+        fr, fi = _fft_lastaxis(re, im, inverse=False)
+        return fr[..., :keep], fi[..., :keep]
+    n1, n2 = _split(n)
+    if keep % n1:
+        fr, fi = _fft_lastaxis(re, im, inverse=False)
+        return fr[..., :keep], fi[..., :keep]
+    m = keep // n1
+    lead = re.shape[:-1]
+    re2 = re.reshape(lead + (n1, n2))
+    im2 = None if im is None else im.reshape(lead + (n1, n2))
+    re_t = jnp.swapaxes(re2, -1, -2)
+    im_t = None if im2 is None else jnp.swapaxes(im2, -1, -2)
+    ar, ai = _fft_lastaxis(re_t, im_t, inverse=False)
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    tc_np, ts_np = _twiddle(n1, n2)
+    tc, ts = jnp.asarray(tc_np), jnp.asarray(ts_np)
+    br = ar * tc - ai * ts
+    bi = ar * ts + ai * tc
+    # second-stage DFT, only the first m output columns
+    c_np, s_np = _dft_factors(n2)
+    c = jnp.asarray(c_np[:, :m])
+    s = jnp.asarray(s_np[:, :m])
+    dot = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)
+    cr = dot(br, c) - dot(bi, s)
+    ci = dot(br, s) + dot(bi, c)
+    cr = jnp.swapaxes(cr, -1, -2).reshape(lead + (keep,))
+    ci = jnp.swapaxes(ci, -1, -2).reshape(lead + (keep,))
+    return cr, ci
+
+
 def ifft(re: Array, im: Optional[Array] = None) -> Tuple[Array, Array]:
     """Inverse DFT along the last axis (scaled by 1/N)."""
     n = re.shape[-1]

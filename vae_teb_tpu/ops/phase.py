@@ -181,14 +181,20 @@ class PhaseScattering1D:
 
     # -- building blocks ----------------------------------------------------
 
-    def _filter_all(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Apply every first-order wavelet: (..., N) real ->
-        ((..., C1, N), (..., C1, N)) split-complex analytic band signals.
-        Reference `_apply_filters` (:220-231)."""
+    def _filter_all(self, x: jnp.ndarray,
+                    rows: Optional[np.ndarray] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Apply first-order wavelets: (..., N) real ->
+        ((..., C, N), (..., C, N)) split-complex analytic band signals.
+        Reference `_apply_filters` (:220-231). `rows` restricts to a static
+        filter subset — with the 44/130 selections only ~60% of the bands
+        are ever consumed, so the (batch, C, N_padded) inverse FFT (the
+        phase path's dominant cost) shrinks accordingly."""
+        filt = self.psi1_f if rows is None else self.psi1_f[np.asarray(rows)]
         xp = reflect_pad(x.astype(self.dtype), self.pad_left, self.pad_right)
         xr, xi = sfft.fft(xp)
-        yr = xr[..., None, :] * self.psi1_f
-        yi = xi[..., None, :] * self.psi1_f
+        yr = xr[..., None, :] * filt
+        yi = xi[..., None, :] * filt
         fr, fi = sfft.ifft(yr, yi)
         sl = slice(self.pad_left, self.pad_left + self.N)
         return fr[..., sl], fi[..., sl]
@@ -201,12 +207,19 @@ class PhaseScattering1D:
         dec = self.decimation
         cr = reflect_pad(cr, self.pad_left, self.pad_right)
         ci = reflect_pad(ci, self.pad_left, self.pad_right)
-        hr, hi = sfft.fft(cr, ci)
-        hr = hr * self.phi_f
-        hi = hi * self.phi_f
         if dec > 1:
+            # only the kept low-frequency bins are ever consumed: compute
+            # just those (truncated second FFT stage) and multiply by the
+            # matching low-pass slice
             keep = self.N_padded // dec
-            hr, hi = hr[..., :keep], hi[..., :keep]
+            hr, hi = sfft.fft_truncated(cr, ci, keep)
+            phi = self.phi_f[:keep]
+            hr = hr * phi
+            hi = hi * phi
+        else:
+            hr, hi = sfft.fft(cr, ci)
+            hr = hr * self.phi_f
+            hi = hi * self.phi_f
         sr, _ = sfft.ifft(hr, hi)
         if dec > 1:
             start = self.pad_left // dec
@@ -260,30 +273,59 @@ class PhaseScattering1D:
         return self._pair_correlation(ir, ii_, jr, ji, pw)
 
     @partial(jax.jit, static_argnums=(0, 2, 3),
-             static_argnames=("phase_subset", "cross_subset"))
+             static_argnames=("phase_subset", "cross_subset",
+                              "compute_scattering"))
     def _forward(self, x, compute_phase, compute_cross_phase,
-                 phase_subset=None, cross_subset=None):
+                 phase_subset=None, cross_subset=None,
+                 compute_scattering=True):
         if self._window is not None:
             x = x * self._window
         scat_in = x[:, 0, :] if x.ndim == 3 else x
-        out = {"scattering": self.scattering(scat_in)}
+        out = {}
+        if compute_scattering:
+            out["scattering"] = self.scattering(scat_in)
         if compute_cross_phase:
-            filtered = self._filter_all(x)  # (B, 2, C1, N) split-complex
-            out["cross_phase_corr"] = self.cross_phase_correlation(
-                filtered,
-                np.asarray(cross_subset) if cross_subset is not None else None)
+            if cross_subset is not None:
+                # filter only the bands the selected pairs touch, per channel
+                sub = np.asarray(cross_subset)
+                ii = self.pairs.i_idx[sub]
+                jj = self.pairs.j_idx[sub]
+                pw = jnp.asarray(self.pairs.powers[sub], self.dtype)
+                rows_i = np.unique(ii)
+                rows_j = np.unique(jj)
+                f0r, f0i = self._filter_all(x[:, 0, :], rows_i)
+                f1r, f1i = self._filter_all(x[:, 1, :], rows_j)
+                ip = jnp.asarray(np.searchsorted(rows_i, ii))
+                jp = jnp.asarray(np.searchsorted(rows_j, jj))
+                out["cross_phase_corr"] = self._pair_correlation(
+                    f0r[:, ip], f0i[:, ip], f1r[:, jp], f1i[:, jp], pw)
+            else:
+                filtered = self._filter_all(x)  # (B, 2, C1, N)
+                out["cross_phase_corr"] = self.cross_phase_correlation(
+                    filtered, None)
         elif compute_phase:
             sig = x[:, 0, :] if x.ndim == 3 else x
-            filtered = self._filter_all(sig)
-            out["phase_corr"] = self.phase_correlation(
-                filtered,
-                np.asarray(phase_subset) if phase_subset is not None else None)
+            if phase_subset is not None:
+                sub = np.asarray(phase_subset)
+                ii = self.pairs.i_idx[sub]
+                jj = self.pairs.j_idx[sub]
+                pw = jnp.asarray(self.pairs.powers[sub], self.dtype)
+                rows = np.unique(np.concatenate([ii, jj]))
+                fr, fi = self._filter_all(sig, rows)
+                ip = jnp.asarray(np.searchsorted(rows, ii))
+                jp = jnp.asarray(np.searchsorted(rows, jj))
+                out["phase_corr"] = self._pair_correlation(
+                    fr[:, ip], fi[:, ip], fr[:, jp], fi[:, jp], pw)
+            else:
+                filtered = self._filter_all(sig)
+                out["phase_corr"] = self.phase_correlation(filtered, None)
         return out
 
     def __call__(self, x: jnp.ndarray, compute_phase: bool = True,
                  compute_cross_phase: bool = False,
                  phase_subset: Optional[Sequence[int]] = None,
-                 cross_subset: Optional[Sequence[int]] = None) -> Dict[str, jnp.ndarray]:
+                 cross_subset: Optional[Sequence[int]] = None,
+                 compute_scattering: bool = True) -> Dict[str, jnp.ndarray]:
         """x: (B, N) or (B, C, N). Cross-phase requires C == 2 with channel 0
         the source (UP) and channel 1 the target (FHR); order the channels on
         the caller side (the reference passes phase_channels=[...] instead)."""
@@ -297,7 +339,8 @@ class PhaseScattering1D:
         ps = tuple(int(i) for i in phase_subset) if phase_subset is not None else None
         cs = tuple(int(i) for i in cross_subset) if cross_subset is not None else None
         return self._forward(x, compute_phase, compute_cross_phase,
-                             phase_subset=ps, cross_subset=cs)
+                             phase_subset=ps, cross_subset=cs,
+                             compute_scattering=compute_scattering)
 
     def optimal_fhr_selection(self) -> Dict:
         """Bundle of both selections + masks, reference :635-760.
