@@ -109,6 +109,32 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     windows_per_sec = B / dt
 
+    # p50 encode latency: one window raw -> posterior latent (scattering +
+    # all three encoders), the serving-side metric in BASELINE.json.
+    @jax.jit
+    def encode_one(fhr1, up1):
+        out_ph = sc._forward(fhr1, True, False, phase_subset=phase_idx)
+        x2 = jnp.stack([fhr1, up1], axis=1)
+        out_cr = sc._forward(x2, False, True, cross_subset=cross_idx,
+                             compute_scattering=False)
+        sl = slice(trim, sc.scattering.n_out - trim)
+        y_st = jnp.swapaxes(out_ph["scattering"][:, :, sl], 1, 2)
+        y_ph = jnp.swapaxes(out_ph["phase_corr"][:, :, sl], 1, 2)
+        x_ph = jnp.swapaxes(out_cr["cross_phase_corr"][:, :, sl], 1, 2)
+        enc = model.apply({"params": params, "batch_stats": batch_stats},
+                          y_st, y_ph, x_ph, train=False,
+                          method=model.encode)
+        return enc["mu_post"]
+
+    f1, u1 = fhr[:1], up[:1]
+    encode_one(f1, u1).block_until_ready()
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        encode_one(f1, u1).block_until_ready()
+        lat.append((time.perf_counter() - t0) * 1000)
+    p50 = float(np.percentile(lat, 50))
+
     baseline = _load_baseline()
     vs = windows_per_sec / baseline if baseline else None
     print(json.dumps({
@@ -116,6 +142,8 @@ def main():
         "value": round(windows_per_sec, 3),
         "unit": "windows/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "p50_encode_latency_ms": round(p50, 2),
+        "batch_size": B,
     }))
 
 
