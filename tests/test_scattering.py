@@ -84,3 +84,17 @@ def test_subsample_fourier_is_time_decimation(rng):
         1j * np.asarray(subsample_fourier(jnp.asarray(xh.imag), k))
     dec = np.fft.ifft(folded)
     np.testing.assert_allclose(dec.real, x[::k], atol=1e-6)
+
+
+def test_meta_prod():
+    """Coefficient metadata matches the reference layout (order-major)."""
+    m = Scattering1D(11, 4, 16, 5760, max_order=1)
+    meta = m.meta()
+    assert meta["order"].shape == (43,)
+    assert meta["order"][0] == 0 and np.all(meta["order"][1:] == 1)
+    assert np.isnan(meta["xi"][0][0])
+    np.testing.assert_allclose(meta["xi"][1][0], m.fb.psi1_xi[0])
+    m2 = Scattering1D(6, 2, 8, 1024, max_order=2)
+    meta2 = m2.meta()
+    assert len(meta2["order"]) == m2.output_channels
+    assert np.sum(meta2["order"] == 2) == m2._n2_pairs

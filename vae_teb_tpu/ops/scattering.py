@@ -160,6 +160,41 @@ class Scattering1D:
     def output_channels(self) -> int:
         return 1 + self.fb.n_order1 + self._n2_pairs
 
+    def meta(self):
+        """Coefficient metadata: order / center freq / width / dyadic scale /
+        filter indices per output channel, NaN-padded to max_order entries
+        (the reference's compute_meta_scattering,
+        /root/reference/kymatio/kymatio/scattering1d/utils.py:190-289)."""
+        fb = self.fb
+        pad = self.max_order
+        order, xi, sigma, j, n, key = [0], [()], [()], [()], [()], [()]
+        for n1 in range(fb.n_order1):
+            order.append(1)
+            xi.append((float(fb.psi1_xi[n1]),))
+            sigma.append((float(fb.psi1_sigma[n1]),))
+            j.append((int(fb.psi1_j[n1]),))
+            n.append((n1,))
+            key.append((n1,))
+        if self.max_order >= 2:
+            for n1 in range(fb.n_order1):
+                for n2 in range(len(fb.psi2_j)):
+                    if fb.psi2_j[n2] > fb.psi1_j[n1]:
+                        order.append(2)
+                        xi.append((float(fb.psi1_xi[n1]),
+                                   float(fb.psi2_xi[n2])))
+                        sigma.append((float(fb.psi1_sigma[n1]),
+                                      float(fb.psi2_sigma[n2])))
+                        j.append((int(fb.psi1_j[n1]), int(fb.psi2_j[n2])))
+                        n.append((n1, n2))
+                        key.append((n1, n2))
+
+        def padded(rows):
+            return np.array([r + (math.nan,) * (pad - len(r)) for r in rows])
+
+        return {"order": np.array(order), "xi": padded(xi),
+                "sigma": padded(sigma), "j": padded(j), "n": padded(n),
+                "key": key}
+
     def _lowpass(self, u_re: jnp.ndarray, u_im: jnp.ndarray,
                  k_in: int) -> jnp.ndarray:
         """Smooth with phi at resolution k_in, decimate to log2_T total, and
