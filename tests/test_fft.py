@@ -81,3 +81,34 @@ def test_fft_truncated(keep, rng):
     scale = np.abs(np.fft.fft(x)).max()
     np.testing.assert_allclose(np.asarray(fr), ref.real, atol=3e-6 * scale)
     np.testing.assert_allclose(np.asarray(fi), ref.imag, atol=3e-6 * scale)
+
+
+@pytest.mark.parametrize("n", [8, 256, 512, 8192])
+def test_rfft_matches_numpy(n, rng):
+    from vae_teb_tpu.ops.fft import rfft
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    fr, fi = jax.jit(rfft)(jnp.asarray(x))
+    ref = np.fft.fft(x)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(fr), ref.real, atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(fi), ref.imag, atol=3e-6 * scale)
+
+
+@pytest.mark.parametrize("n", [8, 256, 512, 8192])
+def test_irfft_roundtrip(n, rng):
+    from vae_teb_tpu.ops.fft import irfft, rfft
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    fr, fi = rfft(jnp.asarray(x))
+    back = jax.jit(irfft)(fr, fi)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [256, 512])
+def test_ifft_real_arbitrary_spectrum(n, rng):
+    from vae_teb_tpu.ops.fft import ifft_real
+    # spectrum of a genuinely complex signal: NOT conjugate-symmetric
+    h = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    got = jax.jit(ifft_real)(jnp.asarray(h.real), jnp.asarray(h.imag))
+    ref = np.fft.ifft(h).real
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)

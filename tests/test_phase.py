@@ -119,3 +119,44 @@ def test_tukey_window_applied():
     x = jnp.ones((1, 1024))
     out = m(x, compute_phase=False)
     assert np.all(np.isfinite(np.asarray(out["scattering"])))
+
+
+def test_analyze_matches_forward_paths(golden_loader):
+    """The fused analyze() entry must agree with the separate _forward
+    calls (same math, shared band computation)."""
+    g = golden_loader("small_o2_cross")
+    m = _model(g)
+    sel = m.optimal_fhr_selection()
+    p_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
+    c_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
+    x = jnp.asarray(g["x"])  # (B, 2, N)
+    fhr, up = x[:, 0, :], x[:, 1, :]
+
+    fused = m.analyze(fhr, up, phase_subset=p_idx, cross_subset=c_idx)
+    ref_ph = m(fhr, compute_phase=True, phase_subset=p_idx)
+    ref_cr = m(x, compute_phase=False, compute_cross_phase=True,
+               cross_subset=c_idx, compute_scattering=False)
+
+    np.testing.assert_allclose(np.asarray(fused["scattering"]),
+                               np.asarray(ref_ph["scattering"]),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused["phase_corr"]),
+                               np.asarray(ref_ph["phase_corr"]),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused["cross_phase_corr"]),
+                               np.asarray(ref_cr["cross_phase_corr"]),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_both_flags_compute_both(golden_loader):
+    """compute_phase and compute_cross_phase together must yield both
+    families (round-1 review: the old elif silently dropped phase)."""
+    g = golden_loader("small_o2_cross")
+    m = _model(g)
+    x = jnp.asarray(g["x"])
+    out = m(x, compute_phase=True, compute_cross_phase=True)
+    assert "phase_corr" in out and "cross_phase_corr" in out
+    only_ph = m(x[:, 0, :], compute_phase=True, compute_scattering=False)
+    np.testing.assert_allclose(np.asarray(out["phase_corr"]),
+                               np.asarray(only_ph["phase_corr"]),
+                               rtol=1e-5, atol=1e-6)

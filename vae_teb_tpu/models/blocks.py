@@ -170,18 +170,26 @@ class ReflectConvBlock(nn.Module):
 
 
 class LSTM(nn.Module):
-    """Multi-layer unidirectional LSTM over (B, S, C) via lax.scan.
+    """Multi-layer unidirectional LSTM over (B, S, C), ONE lax.scan total.
 
     Orthogonal kernels, zero biases with forget gate bias = 1
-    (reference initialization, vae_teb_model.py:60-70). `unroll` trades
-    compile time for fewer sequential steps on the TPU scalar pipeline.
+    (reference initialization, vae_teb_model.py:60-70).
+
+    TPU design note: a seq-300 4-layer LSTM is latency-bound — the matmuls
+    are (B, H)x(H, 4H) with H=64, far below one MXU tile, so time is pure
+    sequential-iteration overhead. Stacking the layers inside a single scan
+    body (layer l at step t needs only layer l-1 at step t — no wavefront
+    required) cuts the iteration count num_layers-fold vs one scan per
+    layer, and `unroll` shrinks it further. Layer 0's input projection is
+    still hoisted out as one large (B*S, C)x(C, 4H) matmul; deeper layers
+    project inside the body ((B,H)x(H,4H) — the same tile class as the
+    recurrent matmul they sit next to).
     """
     hidden_size: int
     num_layers: int = 1
     # scan unroll: higher shrinks sequential-step overhead on TPU but
-    # multiplies the compiled graph size; 2 balances compile time against
-    # step latency (raise for production TPU runs via the constructor)
-    unroll: int = 2
+    # multiplies the compiled graph size
+    unroll: int = 8
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -194,35 +202,49 @@ class LSTM(nn.Module):
             bias = jnp.zeros(shape, dtype)
             return bias.at[h_size:2 * h_size].set(1.0)
 
-        h_last, c_last = [], []
+        w_ih, w_hh, biases = [], [], []
+        in_dim = x.shape[-1]
         for layer in range(self.num_layers):
-            in_dim = x.shape[-1]
-            w_ih = self.param(f"w_ih_{layer}", orthogonal(),
-                              (in_dim, 4 * h_size))
-            w_hh = self.param(f"w_hh_{layer}", orthogonal(),
-                              (h_size, 4 * h_size))
-            bias = self.param(f"bias_{layer}", forget_one_bias,
-                              (4 * h_size,))
-            # hoist the input projection out of the scan: one big matmul
-            x_proj = x.reshape(b * s, in_dim) @ w_ih
-            x_proj = (x_proj + bias).reshape(b, s, 4 * h_size)
+            w_ih.append(self.param(f"w_ih_{layer}", orthogonal(),
+                                   (in_dim, 4 * h_size)))
+            w_hh.append(self.param(f"w_hh_{layer}", orthogonal(),
+                                   (h_size, 4 * h_size)))
+            biases.append(self.param(f"bias_{layer}", forget_one_bias,
+                                     (4 * h_size,)))
+            in_dim = h_size
 
-            def step(carry, xp, _w_hh=w_hh):
-                h, c = carry
-                gates = xp + h @ _w_hh
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-                g = jnp.tanh(g)
-                c = f * c + i * g
-                h = o * jnp.tanh(c)
-                return (h, c), h
+        # hoist layer 0's input projection out of the scan
+        x_proj = x.reshape(b * s, x.shape[-1]) @ w_ih[0]
+        x_proj = (x_proj + biases[0]).reshape(b, s, 4 * h_size)
 
-            init = (jnp.zeros((b, h_size), x.dtype),
-                    jnp.zeros((b, h_size), x.dtype))
-            (h_f, c_f), ys = jax.lax.scan(step, init,
-                                          jnp.swapaxes(x_proj, 0, 1),
-                                          unroll=self.unroll)
-            x = jnp.swapaxes(ys, 0, 1)
-            h_last.append(h_f)
-            c_last.append(c_f)
-        return x, (jnp.stack(h_last), jnp.stack(c_last))
+        def cell(gates, h, c):
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return h, c
+
+        def step(carry, xp0):
+            hs, cs = carry
+            new_h, new_c = [], []
+            inp = None
+            for layer in range(self.num_layers):
+                if layer == 0:
+                    gates = xp0 + hs[0] @ w_hh[0]
+                else:
+                    gates = (inp @ w_ih[layer] + biases[layer]
+                             + hs[layer] @ w_hh[layer])
+                h, c = cell(gates, hs[layer], cs[layer])
+                new_h.append(h)
+                new_c.append(c)
+                inp = h
+            return (tuple(new_h), tuple(new_c)), inp
+
+        zeros = jnp.zeros((b, h_size), x.dtype)
+        init = (tuple(zeros for _ in range(self.num_layers)),
+                tuple(zeros for _ in range(self.num_layers)))
+        (h_f, c_f), ys = jax.lax.scan(step, init,
+                                      jnp.swapaxes(x_proj, 0, 1),
+                                      unroll=self.unroll)
+        return jnp.swapaxes(ys, 0, 1), (jnp.stack(h_f), jnp.stack(c_f))

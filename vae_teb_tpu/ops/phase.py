@@ -190,9 +190,15 @@ class PhaseScattering1D:
         filter subset — with the 44/130 selections only ~60% of the bands
         are ever consumed, so the (batch, C, N_padded) inverse FFT (the
         phase path's dominant cost) shrinks accordingly."""
-        filt = self.psi1_f if rows is None else self.psi1_f[np.asarray(rows)]
         xp = reflect_pad(x.astype(self.dtype), self.pad_left, self.pad_right)
-        xr, xi = sfft.fft(xp)
+        xr, xi = sfft.rfft(xp)
+        return self._bands_from_spectrum(xr, xi, rows)
+
+    def _bands_from_spectrum(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                             rows: Optional[np.ndarray] = None
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Analytic band signals from the PADDED input spectrum (..., N_pad)."""
+        filt = self.psi1_f if rows is None else self.psi1_f[np.asarray(rows)]
         yr = xr[..., None, :] * filt
         yi = xi[..., None, :] * filt
         fr, fi = sfft.ifft(yr, yi)
@@ -220,7 +226,7 @@ class PhaseScattering1D:
             hr, hi = sfft.fft(cr, ci)
             hr = hr * self.phi_f
             hi = hi * self.phi_f
-        sr, _ = sfft.ifft(hr, hi)
+        sr = sfft.ifft_real(hr, hi)
         if dec > 1:
             start = self.pad_left // dec
             end = min(start + self.N // dec, sr.shape[-1])
@@ -238,6 +244,20 @@ class PhaseScattering1D:
         ar, ai = self._accelerate(ir, ii_, powers[..., :, None])
         cr, ci = sfft.cmul_conj(ar, ai, jr, ji)
         return self._phi_decimate(cr, ci)
+
+    @staticmethod
+    def _banded_product(ir_b, ii_b, ip, jr_b, ji_b, jp, powers
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Accelerated conjugate products from BAND tensors + static pair
+        index vectors. modulus/arctan2 run once per band (the expensive
+        transcendentals); only cos/sin of the scaled phase and the product
+        run at pair rate. Same values as gather-then-accelerate."""
+        mag = sfft.modulus(ir_b, ii_b)
+        ph = jnp.arctan2(ii_b, ir_b)
+        phs = ph[:, ip] * powers[..., :, None]
+        ar = mag[:, ip] * jnp.cos(phs)
+        ai = mag[:, ip] * jnp.sin(phs)
+        return sfft.cmul_conj(ar, ai, jr_b[:, jp], ji_b[:, jp])
 
     def _subset(self, subset: Optional[np.ndarray]):
         if subset is None:
@@ -284,6 +304,9 @@ class PhaseScattering1D:
         out = {}
         if compute_scattering:
             out["scattering"] = self.scattering(scat_in)
+        # The reference computes the two families in separate forward calls
+        # (create_hdf5_dataset.py:421-432); here both flags may be set at
+        # once (round-1 review: the old elif silently dropped `phase`).
         if compute_cross_phase:
             if cross_subset is not None:
                 # filter only the bands the selected pairs touch, per channel
@@ -297,13 +320,13 @@ class PhaseScattering1D:
                 f1r, f1i = self._filter_all(x[:, 1, :], rows_j)
                 ip = jnp.asarray(np.searchsorted(rows_i, ii))
                 jp = jnp.asarray(np.searchsorted(rows_j, jj))
-                out["cross_phase_corr"] = self._pair_correlation(
-                    f0r[:, ip], f0i[:, ip], f1r[:, jp], f1i[:, jp], pw)
+                cr, ci = self._banded_product(f0r, f0i, ip, f1r, f1i, jp, pw)
+                out["cross_phase_corr"] = self._phi_decimate(cr, ci)
             else:
                 filtered = self._filter_all(x)  # (B, 2, C1, N)
                 out["cross_phase_corr"] = self.cross_phase_correlation(
                     filtered, None)
-        elif compute_phase:
+        if compute_phase:
             sig = x[:, 0, :] if x.ndim == 3 else x
             if phase_subset is not None:
                 sub = np.asarray(phase_subset)
@@ -314,8 +337,8 @@ class PhaseScattering1D:
                 fr, fi = self._filter_all(sig, rows)
                 ip = jnp.asarray(np.searchsorted(rows, ii))
                 jp = jnp.asarray(np.searchsorted(rows, jj))
-                out["phase_corr"] = self._pair_correlation(
-                    fr[:, ip], fi[:, ip], fr[:, jp], fi[:, jp], pw)
+                cr, ci = self._banded_product(fr, fi, ip, fr, fi, jp, pw)
+                out["phase_corr"] = self._phi_decimate(cr, ci)
             else:
                 filtered = self._filter_all(sig)
                 out["phase_corr"] = self.phase_correlation(filtered, None)
@@ -340,6 +363,100 @@ class PhaseScattering1D:
         cs = tuple(int(i) for i in cross_subset) if cross_subset is not None else None
         return self._forward(x, compute_phase, compute_cross_phase,
                              phase_subset=ps, cross_subset=cs,
+                             compute_scattering=compute_scattering)
+
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("phase_subset", "cross_subset",
+                              "compute_scattering"))
+    def _analyze(self, fhr, up, phase_subset, cross_subset,
+                 compute_scattering=True):
+        """Fused production forward: scattering + within-channel phase +
+        cross-channel phase in ONE traced graph.
+
+        Unlike chaining `_forward` calls (the reference runs the transform
+        twice per record, create_hdf5_dataset.py:421-432), the padded FHR
+        spectrum is transformed once and the FHR analytic bands are computed
+        once for the UNION of the bands the two selections touch; both
+        correlation families then share a single low-pass/decimate FFT over
+        the concatenated pair axis.
+        """
+        if self._window is not None:
+            fhr = fhr * self._window
+            if up is not None:
+                up = up * self._window
+
+        p_sub = np.asarray(phase_subset)
+        pii = self.pairs.i_idx[p_sub]
+        pjj = self.pairs.j_idx[p_sub]
+        ppw = jnp.asarray(self.pairs.powers[p_sub], self.dtype)
+        # Cross-channel convention (matches the reference ETL,
+        # create_hdf5_dataset.py:419-432 with x=stack([fhr,up]) and
+        # phase_channels=[0,1]): channel 0 (FHR) takes the i-side filters
+        # and the acceleration; channel 1 (UP) takes the j-side conjugate.
+        c_sub = np.asarray(cross_subset) if cross_subset is not None else None
+        if c_sub is not None:
+            cii = self.pairs.i_idx[c_sub]
+            cjj = self.pairs.j_idx[c_sub]
+            cpw = jnp.asarray(self.pairs.powers[c_sub], self.dtype)
+            rows_fhr = np.unique(np.concatenate([pii, pjj, cii]))
+            rows_up = np.unique(cjj)
+        else:
+            rows_fhr = np.unique(np.concatenate([pii, pjj]))
+
+        xp = reflect_pad(fhr.astype(self.dtype), self.pad_left, self.pad_right)
+        xr, xi = sfft.rfft(xp)
+
+        out = {}
+        if compute_scattering:
+            out["scattering"] = self.scattering.scatter_spectrum(xr, xi)
+
+        fr_b, fi_b = self._bands_from_spectrum(xr, xi, rows_fhr)
+        ip = jnp.asarray(np.searchsorted(rows_fhr, pii))
+        jp = jnp.asarray(np.searchsorted(rows_fhr, pjj))
+        cr_p, ci_p = self._banded_product(fr_b, fi_b, ip, fr_b, fi_b, jp, ppw)
+
+        if c_sub is not None and up is not None:
+            ur_b, ui_b = self._filter_all(up, rows_up)
+            cip = jnp.asarray(np.searchsorted(rows_fhr, cii))
+            cjp = jnp.asarray(np.searchsorted(rows_up, cjj))
+            cr_c, ci_c = self._banded_product(fr_b, fi_b, cip,
+                                              ur_b, ui_b, cjp, cpw)
+            # one low-pass/decimate FFT over both families
+            n_p = cr_p.shape[1]
+            dec = self._phi_decimate(jnp.concatenate([cr_p, cr_c], axis=1),
+                                     jnp.concatenate([ci_p, ci_c], axis=1))
+            out["phase_corr"] = dec[:, :n_p]
+            out["cross_phase_corr"] = dec[:, n_p:]
+        else:
+            out["phase_corr"] = self._phi_decimate(cr_p, ci_p)
+        return out
+
+    def analyze(self, fhr: jnp.ndarray, up: Optional[jnp.ndarray] = None,
+                phase_subset: Optional[Sequence[int]] = None,
+                cross_subset: Optional[Sequence[int]] = None,
+                compute_scattering: bool = True) -> Dict[str, jnp.ndarray]:
+        """Production forward pass: all three coefficient families at once.
+
+        fhr, up: (B, N) real signals. `phase_subset` defaults to the
+        optimal 44-pair FHR selection, `cross_subset` (requires `up`) to the
+        130-pair UP->FHR selection. Returns {"scattering", "phase_corr",
+        "cross_phase_corr"}, each (B, C, N_out).
+        """
+        if fhr.ndim != 2 or fhr.shape[-1] != self.N:
+            raise ValueError(f"fhr must be (B, {self.N}), got {fhr.shape}")
+        if up is not None and up.shape != fhr.shape:
+            raise ValueError("up must match fhr's shape")
+        sel = None
+        if phase_subset is None or (cross_subset is None and up is not None):
+            sel = self.optimal_fhr_selection()
+        if phase_subset is None:
+            phase_subset = sel["phase_selection"]["selected_indices"]
+        if cross_subset is None and up is not None:
+            cross_subset = sel["cross_selection"]["selected_indices"]
+        ps = tuple(int(i) for i in phase_subset)
+        cs = (tuple(int(i) for i in cross_subset)
+              if cross_subset is not None and up is not None else None)
+        return self._analyze(fhr, up, phase_subset=ps, cross_subset=cs,
                              compute_scattering=compute_scattering)
 
     def optimal_fhr_selection(self) -> Dict:

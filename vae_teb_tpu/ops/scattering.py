@@ -45,6 +45,10 @@ def reflect_pad(x: jnp.ndarray, pad_left: int, pad_right: int) -> jnp.ndarray:
     if n <= 1:
         pads = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
         return jnp.pad(x, pads, mode="constant")
+    if pad_left <= n - 1 and pad_right <= n - 1:
+        # common case: one fused pad, one materialization
+        pads = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
+        return jnp.pad(x, pads, mode="reflect")
     left, right = pad_left, pad_right
     while left > 0:
         chunk = min(left, x.shape[-1] - 1)
@@ -203,7 +207,10 @@ class Scattering1D:
         phi = self.phi_f[k_in]
         s_re = subsample_fourier(u_re * phi, 2 ** k_j)
         s_im = subsample_fourier(u_im * phi, 2 ** k_j)
-        s, _ = sfft.ifft(s_re, s_im)  # real part of the inverse transform
+        # (s_re, s_im) is the spectrum of a real signal put through a real
+        # symmetric filter + period folding -> conjugate-symmetric: the
+        # half-size packed inverse recovers the real signal directly.
+        s = sfft.irfft(s_re, s_im)
         k_tot = k_in + k_j
         return s[..., int(self.ind_start[k_tot]):int(self.ind_end[k_tot])]
 
@@ -214,7 +221,7 @@ class Scattering1D:
         y_im = subsample_fourier(u0_im[:, None, :] * filt[None, :, :], 2 ** k1)
         t_re, t_im = sfft.ifft(y_re, y_im)
         u = sfft.modulus(t_re, t_im).astype(self.dtype)
-        return sfft.fft(u)
+        return sfft.rfft(u)
 
     @partial(jax.jit, static_argnums=0)
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -223,8 +230,18 @@ class Scattering1D:
         x = x.reshape((-1, x.shape[-1])).astype(self.dtype)
 
         u0 = reflect_pad(x, self.pad_left, self.pad_right)
-        u0_re, u0_im = sfft.fft(u0)
+        u0_re, u0_im = sfft.rfft(u0)
+        out = self.scatter_spectrum(u0_re, u0_im)
+        return out.reshape(batch_shape + out.shape[-2:])
 
+    def scatter_spectrum(self, u0_re: jnp.ndarray, u0_im: jnp.ndarray
+                         ) -> jnp.ndarray:
+        """Scattering cascade from the PADDED input spectrum (B, N_padded).
+
+        Split out so callers that already hold the padded FFT (the phase
+        frontend pads + transforms the same channel for its band analysis)
+        don't pay for it twice.
+        """
         s0 = self._lowpass(u0_re[:, None, :], u0_im[:, None, :], 0)
 
         s1_parts, u1_hats = [], {}
@@ -237,7 +254,8 @@ class Scattering1D:
 
         outs = [s0, s1]
         if self.max_order >= 2 and self._n2_pairs:
-            s2 = jnp.zeros((x.shape[0], self._n2_pairs, self.n_out), self.dtype)
+            s2 = jnp.zeros((u0_re.shape[0], self._n2_pairs, self.n_out),
+                           self.dtype)
             for k1, k2, idxs, n1s, n2s in self._groups2:
                 rows, u1_re, u1_im = u1_hats[k1]
                 # position of each needed n1 inside this k1 group's rows
@@ -247,9 +265,8 @@ class Scattering1D:
                 y_im = subsample_fourier(u1_im[:, pos, :] * filt, 2 ** k2)
                 t_re, t_im = sfft.ifft(y_re, y_im)
                 u2 = sfft.modulus(t_re, t_im).astype(self.dtype)
-                u2_re, u2_im = sfft.fft(u2)
+                u2_re, u2_im = sfft.rfft(u2)
                 s2 = s2.at[:, idxs, :].set(self._lowpass(u2_re, u2_im, k1 + k2))
             outs.append(s2)
 
-        out = jnp.concatenate(outs, axis=1)
-        return out.reshape(batch_shape + out.shape[-2:])
+        return jnp.concatenate(outs, axis=1)
