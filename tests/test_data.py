@@ -192,6 +192,83 @@ def test_passes_qc():
     assert not passes_qc(flat_fhr, good_up, w)
 
 
+def test_window_record_counts_and_content(rng):
+    """Window-count arithmetic of the reference ETL contract: stride =
+    window*(1-overlap), align-left, reflect-padded tail (reference
+    create_hdf5_dataset.py:352-403, prepare_data overlap_percentage=0.5)."""
+    from vae_teb_tpu.data import window_record
+    window = 5760
+    # exact fit: L = window -> 1 window at offset 0
+    fhr, up = synthetic_fhr_up(window, rng)
+    w = window_record(fhr[0], up[0], window=window, overlap=0.5)
+    assert w["fhr"].shape == (1, window)
+    np.testing.assert_array_equal(w["domain_start"], [0.0])
+    np.testing.assert_array_equal(w["fhr"][0], fhr[0])
+    # L = 2*window with 0.5 overlap -> 3 windows at 0/2880/5760, no padding
+    fhr2, up2 = synthetic_fhr_up(2 * window, rng)
+    w2 = window_record(fhr2[0], up2[0], window=window, overlap=0.5)
+    np.testing.assert_array_equal(w2["domain_start"], [0.0, 2880.0, 5760.0])
+    for i, s in enumerate((0, 2880, 5760)):
+        np.testing.assert_array_equal(w2["fhr"][i], fhr2[0][s:s + window])
+    np.testing.assert_array_equal(w2["weight"], 1.0)  # no padded samples
+    # ragged tail: L = 8000 -> ceil((8000-5760)/2880)+1 = 2 windows, padded
+    fhr3, up3 = synthetic_fhr_up(8000, rng)
+    w3 = window_record(fhr3[0], up3[0], window=window, overlap=0.5)
+    assert w3["fhr"].shape == (2, window)
+    np.testing.assert_array_equal(w3["domain_start"], [0.0, 2880.0])
+    # real part of the tail window matches; padded part carries zero weight
+    np.testing.assert_array_equal(w3["fhr"][1][:8000 - 2880],
+                                  fhr3[0][2880:8000])
+    dec_weight = w3["weight"][1]
+    n_real_steps = (8000 - 2880) // 16
+    np.testing.assert_array_equal(dec_weight[:n_real_steps], 1.0)
+    assert dec_weight[-1] == 0.0  # fully synthetic tail step
+    # overlap=0 -> non-overlapping blocking
+    w4 = window_record(fhr2[0], up2[0], window=window, overlap=0.0)
+    assert w4["fhr"].shape == (2, window)
+    np.testing.assert_array_equal(w4["domain_start"], [0.0, float(window)])
+
+
+def test_window_record_validation(rng):
+    from vae_teb_tpu.data import window_record
+    fhr, up = synthetic_fhr_up(100, rng)
+    with pytest.raises(ValueError):
+        window_record(fhr[0], up[0][:50])
+    with pytest.raises(ValueError):
+        window_record(fhr[0], up[0], overlap=1.0)
+    with pytest.raises(ValueError):
+        window_record(fhr[0], up[0], weight=np.ones(7, np.float32))
+
+
+def test_build_dataset_from_records(tmp_path):
+    """Long-record ETL end to end: records of length 2*window produce 3
+    overlapping windows each; per-record failures land in the errors list
+    without killing the build (reference :505-508)."""
+    from vae_teb_tpu.data import build_dataset_from_records
+    from vae_teb_tpu.ops import PhaseScattering1D
+    path = str(tmp_path / "long.h5")
+    sc = PhaseScattering1D(J=6, Q=2, T=8, shape=1024, max_order=1)
+    rng_l = np.random.default_rng(9)
+    records = []
+    for i in range(2):
+        fhr, up = synthetic_fhr_up(2048, rng_l)
+        records.append({"fhr": fhr[0], "up": up[0], "guid": f"rec{i}"})
+    records.append({"fhr": np.zeros(1, np.float32),
+                    "up": np.zeros(1, np.float32), "guid": "broken"})
+    res = build_dataset_from_records(path, records, transform=sc,
+                                     window=1024, overlap=0.5)
+    assert res["kept"] + res["skipped"] == 2 * 3  # 3 windows per good record
+    assert len(res["errors"]) == 1
+    assert res["errors"][0]["record"] == "broken"
+    info = dataset_info(path)
+    assert info["fhr"][0] == res["kept"]
+    ds = CombinedHDF5Dataset(path, cache_size=0)
+    # epoch stores the window's domain start (reference :501)
+    epochs = sorted(float(ds[i].epoch) for i in range(len(ds)))
+    assert set(epochs) <= {0.0, 512.0, 1024.0}
+    ds.close()
+
+
 @pytest.fixture(scope="module")
 def small_dataset(tmp_path_factory):
     """A tiny but schema-complete dataset built through the real transform."""

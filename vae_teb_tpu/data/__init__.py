@@ -8,7 +8,9 @@ from .normalize import (FieldStats, apply_channel_transforms,
 from .schema import append_batch, append_sample, create_initial_hdf5, dataset_info
 from .splits import create_cv_splits, guid_label_splits
 from .stats import DatasetStatsCalculator, load_stats
-from .synthetic import build_dataset, find_flat_regions, passes_qc, synthetic_fhr_up
+from .synthetic import (build_dataset, build_dataset_from_records,
+                        find_flat_regions, passes_qc, synthetic_fhr_up,
+                        synthetic_records, window_record)
 
 __all__ = [
     "Batch", "CombinedHDF5Dataset", "prefetch_to_device",
@@ -18,5 +20,6 @@ __all__ = [
     "append_batch", "append_sample", "create_initial_hdf5", "dataset_info",
     "DatasetStatsCalculator", "load_stats",
     "create_cv_splits", "guid_label_splits",
-    "build_dataset", "find_flat_regions", "passes_qc", "synthetic_fhr_up",
+    "build_dataset", "build_dataset_from_records", "find_flat_regions",
+    "passes_qc", "synthetic_fhr_up", "synthetic_records", "window_record",
 ]
