@@ -41,11 +41,22 @@ def _load_baseline():
 
 
 def main():
+    import os
+    import sys
+
     import jax
     import jax.numpy as jnp
     import optax
     from vae_teb_tpu.models import SeqVaeTeb
     from vae_teb_tpu.ops import PhaseScattering1D
+
+    # precision policy for the VAE step (the FFT frontend stays fp32: the
+    # measured parity tradeoff in BASELINE.md). Default bf16 = the
+    # production training configuration (reference trains 16-mixed).
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    if "--fp32" in sys.argv:
+        precision = "fp32"
+    model_dtype = jnp.bfloat16 if precision == "bf16" else None
 
     B, N = 32, 5760
     trim = 30
@@ -55,7 +66,7 @@ def main():
     cross_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
     S = sc.scattering.n_out - 2 * trim
 
-    model = SeqVaeTeb()
+    model = SeqVaeTeb(dtype=model_dtype)
     rng = jax.random.PRNGKey(0)
     variables = model.init(
         {"params": rng, "sample": rng},
@@ -152,6 +163,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "p50_encode_latency_ms": round(p50, 2),
         "batch_size": B,
+        "precision": precision,
     }))
 
 

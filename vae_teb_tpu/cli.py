@@ -32,7 +32,8 @@ def _make_model(cfg):
                      input_channels=m.input_channels,
                      n_scattering=m.n_scattering, n_phase=m.n_phase,
                      decimation_factor=m.decimation_factor,
-                     warmup_period=m.warmup_period)
+                     warmup_period=m.warmup_period,
+                     dtype=cfg.trainer.model_dtype())
 
 
 def _loaders(cfg, split: str):
@@ -50,9 +51,9 @@ def _loaders(cfg, split: str):
 
 
 def cmd_train(args) -> int:
-    from .train import Checkpointer, Trainer, load_config
+    from .train import (Checkpointer, HistoryCallback, LossCurveCallback,
+                        ReconstructionPlotCallback, Trainer, load_config)
     from .utils import get_logger, setup_logging
-    from .eval.plots import plot_loss_curves
 
     cfg = load_config(args.config, root=args.root)
     run_dir = cfg.run_dir()
@@ -71,12 +72,34 @@ def cmd_train(args) -> int:
     bs = cfg.dataset.batch_size
     n_dev = trainer.mesh.devices.size
     global_bs = bs * n_dev
-    log.info("devices=%d per-device-batch=%d global-batch=%d",
-             n_dev, bs, global_bs)
+    log.info("devices=%d per-device-batch=%d global-batch=%d precision=%s "
+             "accumulate=%d", n_dev, bs, global_bs, cfg.trainer.precision,
+             cfg.trainer.accumulate_grad_batches)
 
     state = trainer.init_state(train_ds.collate(range(min(2, len(train_ds)))))
-    ckpt = Checkpointer(os.path.join(run_dir, "model_checkpoints"),
-                        keep=cfg.checkpoints.keep)
+    ckpt_dir = os.path.join(run_dir, "model_checkpoints")
+    ckpt = Checkpointer(ckpt_dir, keep=cfg.checkpoints.keep)
+
+    # mid-training resume (the reference reloads checkpoints at model build,
+    # graph_model.py:337-350; here the FULL TrainState — params, batch
+    # stats, optimizer state, rng, step — comes back, plus the history)
+    start_epoch = 0
+    history_path = os.path.join(run_dir, "train_results", "history.pkl")
+    if args.resume:
+        resume_dir = args.resume if isinstance(args.resume, str) else ckpt_dir
+        resume_ckpt = Checkpointer(resume_dir, keep=cfg.checkpoints.keep)
+        latest = resume_ckpt.latest()
+        if latest is None:
+            log.warning("--resume given but %s has no checkpoints; "
+                        "starting fresh", resume_dir)
+        else:
+            state = trainer.replicate(resume_ckpt.restore(state))
+            start_epoch = int(latest["step"]) + 1
+            log.info("resumed from %s (epoch %d, metric %s)",
+                     latest["path"], latest["step"], latest["metric"])
+            if os.path.exists(history_path):
+                with open(history_path, "rb") as f:
+                    trainer.history = pickle.load(f)
 
     def train_batches(epoch):
         return train_ds.as_batches(global_bs, shuffle=True, seed=epoch)
@@ -87,14 +110,21 @@ def cmd_train(args) -> int:
         return val_ds.as_batches(cfg.dataset.eval_batch_size, shuffle=False,
                                  drop_last=False)
 
+    callbacks = [
+        HistoryCallback(history_path),
+        LossCurveCallback(os.path.join(run_dir, "train_results",
+                                       "loss_curves.png")),
+    ]
+    if val_ds is not None and len(val_ds) and args.plot_every > 0:
+        plot_batch = val_ds.collate(range(min(2, len(val_ds))))
+        callbacks.append(ReconstructionPlotCallback(
+            os.path.join(run_dir, "train_results", "reconstructions"),
+            plot_batch, every=args.plot_every))
+
     state = trainer.fit(state, train_batches,
                         val_batches if val_ds is not None else None,
-                        checkpointer=ckpt, log_fn=log.info)
-    with open(os.path.join(run_dir, "train_results", "history.pkl"),
-              "wb") as f:
-        pickle.dump(trainer.history, f)
-    plot_loss_curves(trainer.history,
-                     os.path.join(run_dir, "train_results", "loss_curves.png"))
+                        checkpointer=ckpt, log_fn=log.info,
+                        callbacks=callbacks, start_epoch=start_epoch)
     log.info("training complete: best checkpoint %s", ckpt.best())
     return 0
 
@@ -124,7 +154,7 @@ def cmd_test(args) -> int:
     ckpt_dir = args.checkpoint or cfg.checkpoints.test_checkpoint_path
     if ckpt_dir:
         ckpt = Checkpointer(ckpt_dir, keep=cfg.checkpoints.keep)
-        state = ckpt.restore(state, best=True)
+        state = trainer.replicate(ckpt.restore(state, best=True))
         log.info("restored best checkpoint from %s", ckpt_dir)
     else:
         log.warning("no checkpoint given: evaluating a fresh model")
@@ -164,11 +194,21 @@ def cmd_test(args) -> int:
 
 
 def cmd_build_data(args) -> int:
-    from .data import DatasetStatsCalculator, build_dataset
-    res = build_dataset(args.out, n_records=args.records,
-                        windows_per_record=args.windows,
-                        len_signal=args.len_signal, seed=args.seed,
-                        J=args.J, Q=args.Q, T=args.T)
+    from .data import (DatasetStatsCalculator, build_dataset,
+                       build_dataset_from_records, synthetic_records)
+    if args.record_len:
+        # long-record ingest: block each record into overlapping windows
+        # (the reference ETL's base_block_size / 0.5-overlap contract)
+        res = build_dataset_from_records(
+            args.out,
+            synthetic_records(args.records, args.record_len, seed=args.seed),
+            J=args.J, Q=args.Q, T=args.T, window=args.len_signal,
+            overlap=args.overlap)
+    else:
+        res = build_dataset(args.out, n_records=args.records,
+                            windows_per_record=args.windows,
+                            len_signal=args.len_signal, seed=args.seed,
+                            J=args.J, Q=args.Q, T=args.T)
     print(f"built {args.out}: {res}")
     if args.stats_out:
         calc = DatasetStatsCalculator(trim_minutes=args.trim_minutes)
@@ -196,6 +236,13 @@ def main(argv: Optional[list] = None) -> int:
     pt.add_argument("--config", required=True)
     pt.add_argument("--root", default=None,
                     help="root for relative dataset paths")
+    pt.add_argument("--resume", nargs="?", const=True, default=False,
+                    metavar="CKPT_DIR",
+                    help="resume from the latest checkpoint (optionally "
+                         "from an explicit checkpoint directory)")
+    pt.add_argument("--plot-every", type=int, default=10,
+                    help="epochs between val-reconstruction plots "
+                         "(0 disables)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("test", help="run the evaluation suite")
@@ -212,6 +259,12 @@ def main(argv: Optional[list] = None) -> int:
     pb.add_argument("--records", type=int, default=16)
     pb.add_argument("--windows", type=int, default=4)
     pb.add_argument("--len-signal", type=int, default=5760)
+    pb.add_argument("--record-len", type=int, default=0,
+                    help="generate records of this length and window them "
+                         "into --len-signal windows (0 = one window per "
+                         "record, no blocking)")
+    pb.add_argument("--overlap", type=float, default=0.5,
+                    help="window overlap fraction for --record-len mode")
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--J", type=int, default=11)
     pb.add_argument("--Q", type=int, default=4)

@@ -213,6 +213,15 @@ class LSTM(nn.Module):
                                      (4 * h_size,)))
             in_dim = h_size
 
+        if self.dtype is not None:
+            # compute-precision policy: params are stored fp32, the scan
+            # body runs in self.dtype (bf16 keeps the recurrent matmuls on
+            # the MXU's native path)
+            x = x.astype(self.dtype)
+            w_ih = [w.astype(self.dtype) for w in w_ih]
+            w_hh = [w.astype(self.dtype) for w in w_hh]
+            biases = [b.astype(self.dtype) for b in biases]
+
         # hoist layer 0's input projection out of the scan
         x_proj = x.reshape(b * s, x.shape[-1]) @ w_ih[0]
         x_proj = (x_proj + biases[0]).reshape(b, s, 4 * h_size)

@@ -7,7 +7,7 @@ Layout is (B, S, C) channels-last throughout.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -16,12 +16,14 @@ from flax import linen as nn
 from .blocks import BN_MOMENTUM, xavier
 from .vae_teb import SeqVaeTeb
 
+Dtype = Any
+
 he_normal = nn.initializers.kaiming_normal
 
 
-def _same_conv(features: int, kernel: int, name: str):
+def _same_conv(features: int, kernel: int, name: str, dtype=None):
     return nn.Conv(features, (kernel,), padding="SAME", use_bias=False,
-                   kernel_init=he_normal(), name=name)
+                   kernel_init=he_normal(), dtype=dtype, name=name)
 
 
 class InceptionBlock(nn.Module):
@@ -29,18 +31,20 @@ class InceptionBlock(nn.Module):
     4*filters -> BN/ReLU/dropout (reference FHRInception, :9-120)."""
     filters: int
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x0 = _same_conv(self.filters, 1, "bottleneck1")(x)
-        x1 = _same_conv(self.filters, 5, "conv_short")(x0)
-        x2 = _same_conv(self.filters, 15, "conv_medium")(x0)
-        x3 = _same_conv(self.filters, 40, "conv_long")(x0)
+        dt = self.dtype
+        x0 = _same_conv(self.filters, 1, "bottleneck1", dt)(x)
+        x1 = _same_conv(self.filters, 5, "conv_short", dt)(x0)
+        x2 = _same_conv(self.filters, 15, "conv_medium", dt)(x0)
+        x3 = _same_conv(self.filters, 40, "conv_long", dt)(x0)
         pooled = nn.max_pool(x, (3,), strides=(1,), padding="SAME")
-        x4 = _same_conv(self.filters, 1, "bottleneck2")(pooled)
+        x4 = _same_conv(self.filters, 1, "bottleneck2", dt)(pooled)
         y = jnp.concatenate([x1, x2, x3, x4], axis=-1)
         y = nn.BatchNorm(use_running_average=not train,
-                         momentum=BN_MOMENTUM)(y)
+                         momentum=BN_MOMENTUM, dtype=dt)(y)
         y = nn.relu(y)
         return nn.Dropout(self.dropout, deterministic=not train)(y)
 
@@ -50,12 +54,13 @@ class ResidualBlock(nn.Module):
     (reference FHRResidual, :123-172)."""
     filters: int
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x_skip, y, train: bool = True):
-        res = _same_conv(4 * self.filters, 1, "bottleneck")(x_skip)
+        res = _same_conv(4 * self.filters, 1, "bottleneck", self.dtype)(x_skip)
         res = nn.BatchNorm(use_running_average=not train,
-                           momentum=BN_MOMENTUM)(res)
+                           momentum=BN_MOMENTUM, dtype=self.dtype)(res)
         y = nn.relu(y + res)
         return nn.Dropout(self.dropout, deterministic=not train)(y)
 
@@ -70,11 +75,13 @@ class InceptionTimeClassifier(nn.Module):
     depth: int = 6
     dropout: float = 0.2
     use_attention: bool = True
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.LayerNorm()(x)
-        x = nn.Dense(self.input_size, kernel_init=xavier())(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.Dense(self.input_size, kernel_init=xavier(),
+                     dtype=self.dtype)(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.dropout * 0.5, deterministic=not train)(x)
 
@@ -82,10 +89,11 @@ class InceptionTimeClassifier(nn.Module):
         y = x
         res_idx = 0
         for d in range(self.depth):
-            y = InceptionBlock(self.filters, self.dropout,
+            y = InceptionBlock(self.filters, self.dropout, dtype=self.dtype,
                                name=f"inception_{d}")(y if d else x, train)
             if d % 3 == 2:
                 y = ResidualBlock(self.filters, self.dropout,
+                                  dtype=self.dtype,
                                   name=f"residual_{res_idx}")(
                                       residual_input, y, train)
                 residual_input = y
@@ -95,20 +103,22 @@ class InceptionTimeClassifier(nn.Module):
             attn = nn.SelfAttention(num_heads=4,
                                     dropout_rate=self.dropout,
                                     deterministic=not train,
+                                    dtype=self.dtype,
                                     name="attention")(y)
-            y = nn.LayerNorm(name="attention_norm")(y + attn)
+            y = nn.LayerNorm(dtype=self.dtype, name="attention_norm")(y + attn)
 
         y = y.mean(axis=1)  # global average pool over sequence
         for width in (2 * self.filters, self.filters):
-            y = nn.Dense(width, kernel_init=xavier())(y)
-            y = nn.LayerNorm()(y)
+            y = nn.Dense(width, kernel_init=xavier(), dtype=self.dtype)(y)
+            y = nn.LayerNorm(dtype=self.dtype)(y)
             y = nn.gelu(y)
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.Dense(self.num_classes, kernel_init=xavier())(y)
+        return nn.Dense(self.num_classes, kernel_init=xavier(),
+                        dtype=self.dtype)(y)
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
 
@@ -124,14 +134,16 @@ class SeqVaeTebClassifier(nn.Module):
     use_attention: bool = True
     freeze_vae: bool = True
     latent_dim_z: int = 32
+    dtype: Optional[Dtype] = None
 
     def setup(self):
-        self.vae_model = SeqVaeTeb(latent_dim_z=self.latent_dim_z)
+        self.vae_model = SeqVaeTeb(latent_dim_z=self.latent_dim_z,
+                                   dtype=self.dtype)
         self.classifier = InceptionTimeClassifier(
             input_size=self.latent_dim_z, num_classes=self.num_classes,
             filters=self.classifier_filters, depth=self.classifier_depth,
             dropout=self.classifier_dropout,
-            use_attention=self.use_attention)
+            use_attention=self.use_attention, dtype=self.dtype)
 
     def __call__(self, y_st, y_ph, x_ph, train: bool = True,
                  deterministic_latent: bool = False) -> Dict:

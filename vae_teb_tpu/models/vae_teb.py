@@ -21,7 +21,7 @@ evaluation suite, and the classifier reuse one implementation.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,16 @@ from flax import linen as nn
 
 from .blocks import (CausalConvBlock, LSTM, ReflectConvBlock, ResidualMLP,
                      geometric_schedule)
+
+Dtype = Any
+
+
+def _f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Loss math always runs in float32: under a bf16 compute policy the
+    activations arrive half-precision, but exp(logvar) / squared errors
+    amplify bf16's 8-bit mantissa into visible loss noise (the reference's
+    16-mixed autocast likewise keeps reductions in fp32)."""
+    return x.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -41,6 +51,8 @@ def gaussian_kld(mu_prior, logvar_prior, mu_post, logvar_post,
     """KL( N(mu_post, e^{logvar_post}) ‖ N(mu_prior, e^{logvar_prior}) ),
     elementwise analytic form (reference :1052-1082). reduce_mean sums the
     latent dim then means over batch/time."""
+    mu_prior, logvar_prior = _f32(mu_prior), _f32(logvar_prior)
+    mu_post, logvar_post = _f32(mu_post), _f32(logvar_post)
     kld = 0.5 * (logvar_prior - logvar_post - 1.0
                  + (jnp.exp(logvar_post) + (mu_post - mu_prior) ** 2)
                  / jnp.exp(logvar_prior))
@@ -52,15 +64,16 @@ def gaussian_kld(mu_prior, logvar_prior, mu_post, logvar_post,
 def gaussian_nll(mu, logvar, target):
     """0.5 * (logvar + (target - mu)^2 / var), mean-reduced (reference
     :969-973)."""
-    diff = target - mu
+    mu, logvar = _f32(mu), _f32(logvar)
+    diff = _f32(target) - mu
     return (0.5 * (logvar + diff * diff / jnp.exp(logvar))).mean()
 
 
 def decoder_loss(linear_output, raw_mu, raw_logvar, y_st, y_ph, y_raw):
     """MSE on the coefficient reconstruction + NLL on the raw signal
     (reference Decoder.compute_loss, :932-979)."""
-    stacked_target = jnp.concatenate([y_st, y_ph], axis=-1)
-    mse = jnp.mean((linear_output - stacked_target) ** 2)
+    stacked_target = jnp.concatenate([_f32(y_st), _f32(y_ph)], axis=-1)
+    mse = jnp.mean((_f32(linear_output) - stacked_target) ** 2)
     nll = gaussian_nll(raw_mu, raw_logvar, y_raw)
     return {"mse_loss": mse, "nll_loss": nll,
             "total_decoder_loss": mse + nll}
@@ -106,37 +119,42 @@ class TargetEncoder(nn.Module):
     lstm_num_layers: int = 4
     n_scattering: int = 43
     n_phase: int = 44
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, y_st, y_ph, train: bool = True):
+        dt = self.dtype
         sc = ResidualMLP(geometric_schedule(self.n_scattering, 16, 4),
                          final_activation=False, activation=nn.gelu,
-                         name="mlp_scattering")(y_st)
+                         dtype=dt, name="mlp_scattering")(y_st)
         ph = ResidualMLP(geometric_schedule(self.n_phase, 16, 4),
                          final_activation=False, activation=nn.relu,
-                         name="mlp_phase")(y_ph)
+                         dtype=dt, name="mlp_phase")(y_ph)
         for i, k in enumerate((3, 5, 7)):
-            sc = CausalConvBlock(16, k, name=f"conv_scattering_{i}")(sc, train)
-        sc = nn.LayerNorm(name="scatter_fused_norm")(sc)
+            sc = CausalConvBlock(16, k, dtype=dt,
+                                 name=f"conv_scattering_{i}")(sc, train)
+        sc = nn.LayerNorm(dtype=dt, name="scatter_fused_norm")(sc)
         for i, k in enumerate((3, 5, 7)):
-            ph = CausalConvBlock(16, k, name=f"conv_phase_{i}")(ph, train)
-        ph = nn.LayerNorm(name="phase_fused_norm")(ph)
+            ph = CausalConvBlock(16, k, dtype=dt,
+                                 name=f"conv_phase_{i}")(ph, train)
+        ph = nn.LayerNorm(dtype=dt, name="phase_fused_norm")(ph)
 
         x = jnp.concatenate([sc, ph], axis=-1)
         x = ResidualMLP(geometric_schedule(32, 20, 5), final_activation=False,
-                        activation=nn.relu, name="cross_modal_fusion")(x)
-        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers,
+                        activation=nn.relu, dtype=dt,
+                        name="cross_modal_fusion")(x)
+        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt,
                     name="lstm")(x)
-        x = nn.LayerNorm(name="lstm_norm")(x)
+        x = nn.LayerNorm(dtype=dt, name="lstm_norm")(x)
         x = ResidualMLP(geometric_schedule(self.lstm_hidden_dim, 32, 5),
                         final_activation=True, activation=nn.relu,
-                        name="pre_output")(x)
+                        dtype=dt, name="pre_output")(x)
         mu = ResidualMLP(geometric_schedule(32, self.latent_dim, 32),
                          final_activation=False, activation=nn.relu,
-                         name="mu_layer")(x)
+                         dtype=dt, name="mu_layer")(x)
         logvar = ResidualMLP(geometric_schedule(32, 2 * self.latent_dim, 4),
                              final_activation=False, activation=nn.relu,
-                             name="logvar_layer")(x)
+                             dtype=dt, name="logvar_layer")(x)
         return mu, jnp.clip(logvar, -10.0, 10.0)
 
 
@@ -148,24 +166,26 @@ class SourceEncoder(nn.Module):
     latent_dim: int = 32
     lstm_hidden_dim: int = 64
     lstm_num_layers: int = 4
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        dt = self.dtype
         x = ResidualMLP(geometric_schedule(self.input_channels, 32, 5),
                         final_activation=False, activation=nn.relu,
-                        name="mlp")(x)
+                        dtype=dt, name="mlp")(x)
         for i, k in enumerate((3, 5, 7)):
-            x = CausalConvBlock(32, k, name=f"conv_{i}")(x, train)
-        x = nn.LayerNorm(name="fused_norm")(x)
-        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers,
+            x = CausalConvBlock(32, k, dtype=dt, name=f"conv_{i}")(x, train)
+        x = nn.LayerNorm(dtype=dt, name="fused_norm")(x)
+        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt,
                     name="lstm")(x)
-        x = nn.LayerNorm(name="lstm_norm")(x)
+        x = nn.LayerNorm(dtype=dt, name="lstm_norm")(x)
         x = ResidualMLP(geometric_schedule(self.lstm_hidden_dim, 32, 4),
                         final_activation=True, activation=nn.relu,
-                        name="pre_output")(x)
+                        dtype=dt, name="pre_output")(x)
         return ResidualMLP(geometric_schedule(32, self.latent_dim, 4),
                            final_activation=False, activation=nn.relu,
-                           name="mu_layer")(x)
+                           dtype=dt, name="mu_layer")(x)
 
 
 class ConditionalEncoder(nn.Module):
@@ -175,19 +195,20 @@ class ConditionalEncoder(nn.Module):
     dim_hx: int = 32
     dim_hy: int = 32
     dim_z: int = 32
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, h_x, h_y):
         dims = geometric_schedule(self.dim_hx + self.dim_hy, self.dim_z, 8)
         h = jnp.concatenate([h_x, h_y], axis=-1)
         h = ResidualMLP(dims[0:5], final_activation=True, activation=nn.relu,
-                        name="mlp")(h)
+                        dtype=self.dtype, name="mlp")(h)
         mu = ResidualMLP(dims[5:], final_activation=False,
                          use_skip_connection=False, activation=nn.relu,
-                         name="fc_mu")(h)
+                         dtype=self.dtype, name="fc_mu")(h)
         logvar = ResidualMLP(dims[5:], final_activation=False,
                              use_skip_connection=False, activation=nn.relu,
-                             name="fc_logvar")(h)
+                             dtype=self.dtype, name="fc_logvar")(h)
         return mu, logvar
 
 
@@ -198,15 +219,17 @@ class Decoder(nn.Module):
     latent_dim: int = 32
     coeff_channels: int = 87  # 43 scattering + 44 phase
     upsample_factor: int = 16
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
         y = ResidualMLP(geometric_schedule(self.latent_dim, 50, 5),
                         final_activation=True, activation=nn.relu,
-                        name="linear_0")(z)
+                        dtype=self.dtype, name="linear_0")(z)
         linear_output = ResidualMLP(
             geometric_schedule(50, self.coeff_channels, 5),
-            final_activation=True, activation=nn.relu, name="linear_1")(y)
+            final_activation=True, activation=nn.relu, dtype=self.dtype,
+            name="linear_1")(y)
 
         # Base spec has 4 2x-upsample stages (factor 16, the production
         # decimation). For other power-of-two factors the first log2(f)
@@ -222,16 +245,16 @@ class Decoder(nn.Module):
         x = linear_output
         for i, (feat, k, is_slot) in enumerate(conv_spec):
             up = next(up_slots) if is_slot else False
-            x = ReflectConvBlock(feat, k, up_sampling=up,
+            x = ReflectConvBlock(feat, k, up_sampling=up, dtype=self.dtype,
                                  name=f"conv_{i}")(x, train)
         raw_len = z.shape[1] * self.upsample_factor
         x = x.reshape(x.shape[0], raw_len)
         mu = ResidualMLP((raw_len, raw_len), final_activation=False,
                          use_skip_connection=False, activation=nn.relu,
-                         name="output_mu")(x)
+                         dtype=self.dtype, name="output_mu")(x)
         logvar = ResidualMLP((raw_len, raw_len), final_activation=False,
                              use_skip_connection=False, activation=nn.relu,
-                             name="output_logvar")(x)
+                             dtype=self.dtype, name="output_logvar")(x)
         return linear_output, mu, logvar
 
 
@@ -240,6 +263,12 @@ class SeqVaeTeb(nn.Module):
 
     apply() needs rngs={"sample": key} when sample_posterior=True (training
     and stochastic eval); deterministic=True uses the posterior mean.
+
+    dtype sets the COMPUTE precision policy (the reference trains 16-mixed,
+    /root/reference/model/graph_model.py:510,670): params stay float32
+    (flax param_dtype default), matmuls/convs/activations run in `dtype`
+    (use jnp.bfloat16 on TPU — MXU-native, no GradScaler needed), and all
+    loss math is cast back to float32 (see _f32).
     """
     latent_dim_source: int = 32
     latent_dim_target: int = 32
@@ -249,20 +278,23 @@ class SeqVaeTeb(nn.Module):
     n_phase: int = 44
     decimation_factor: int = 16
     warmup_period: int = 30
+    dtype: Optional[Dtype] = None
 
     def setup(self):
         self.source_encoder = SourceEncoder(
             input_channels=self.input_channels,
-            latent_dim=self.latent_dim_source)
+            latent_dim=self.latent_dim_source, dtype=self.dtype)
         self.target_encoder = TargetEncoder(
             latent_dim=self.latent_dim_target,
-            n_scattering=self.n_scattering, n_phase=self.n_phase)
+            n_scattering=self.n_scattering, n_phase=self.n_phase,
+            dtype=self.dtype)
         self.conditional_encoder = ConditionalEncoder(
             dim_hx=self.latent_dim_source, dim_hy=self.latent_dim_target,
-            dim_z=self.latent_dim_z)
+            dim_z=self.latent_dim_z, dtype=self.dtype)
         self.decoder = Decoder(latent_dim=self.latent_dim_z,
                                coeff_channels=self.n_scattering + self.n_phase,
-                               upsample_factor=self.decimation_factor)
+                               upsample_factor=self.decimation_factor,
+                               dtype=self.dtype)
 
     def encode(self, y_st, y_ph, x_ph, train: bool = True):
         """All three encoders; returns the distribution parameters."""
@@ -301,6 +333,11 @@ class SeqVaeTeb(nn.Module):
                 "mse_loss": losses["mse_loss"],
                 "nll_loss": losses["nll_loss"],
                 "kld_loss": kld, "total_loss": total}
+
+    def decode(self, z, train: bool = False):
+        """Decoder-only entry (latent interpolation / animation analyses):
+        z (B, S, latent) -> (linear_output, raw mu, raw logvar)."""
+        return self.decoder(z, train)
 
     def measure_transfer_entropy(self, y_st, y_ph, x_ph,
                                  reduce_mean: bool = False):

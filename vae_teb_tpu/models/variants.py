@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from .blocks import (CausalConvBlock, LSTM, ReflectConvBlock, ResidualMLP,
                      geometric_schedule, linear_upsample)
-from .vae_teb import SeqVaeTeb, gaussian_kld
+from .vae_teb import Dtype, SeqVaeTeb, _f32, gaussian_kld
 
 
 # ---------------------------------------------------------------------------
@@ -59,9 +59,9 @@ def sliding_window_nll(mu: jnp.ndarray, logvar: jnp.ndarray,
     if tv.size == 0:
         return jnp.float32(0.0)
     gather = tv[:, None] * decimation_factor + np.arange(h)[None, :]  # (T, H)
-    windows = target_raw[:, jnp.asarray(gather)]        # (B, T, H)
-    mu_v = mu[:, jnp.asarray(tv), :]
-    lv_v = logvar[:, jnp.asarray(tv), :]
+    windows = _f32(target_raw)[:, jnp.asarray(gather)]  # (B, T, H)
+    mu_v = _f32(mu)[:, jnp.asarray(tv), :]
+    lv_v = _f32(logvar)[:, jnp.asarray(tv), :]
     nll = 0.5 * (lv_v + (windows - mu_v) ** 2 / jnp.exp(lv_v))
     # reference averages per-t means over valid t == global mean here
     return nll.mean()
@@ -92,6 +92,7 @@ def predict_st_loss(predictions: Dict[str, jnp.ndarray],
                 "phase_loss": zero}
 
     def _nll(mu, logvar, windows):
+        mu, logvar, windows = _f32(mu), _f32(logvar), _f32(windows)
         nll = 0.5 * (logvar + (windows - mu) ** 2 / jnp.exp(logvar))
         return nll.mean()
 
@@ -138,28 +139,31 @@ class DirectWindowDecoder(nn.Module):
     latent_dim: int = 32
     prediction_horizon: int = 480
     hidden: int = 256
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
+        dt = self.dtype
         x_linear = ResidualMLP(geometric_schedule(self.latent_dim,
                                                   self.hidden, 4),
                                final_activation=True, activation=nn.relu,
-                               name="linear")(z)
-        x_lstm, _ = LSTM(self.hidden, 3, name="lstm")(z)
+                               dtype=dt, name="linear")(z)
+        x_lstm, _ = LSTM(self.hidden, 3, dtype=dt, name="lstm")(z)
         x_conv = z
         for i, k in enumerate((3, 5, 7, 11, 19, 29)):
-            x_conv = CausalConvBlock(self.hidden, k,
+            x_conv = CausalConvBlock(self.hidden, k, dtype=dt,
                                      name=f"conv_{i}")(x_conv, train)
         x = x_linear + x_lstm + x_conv
         x = ResidualMLP(geometric_schedule(self.hidden, 360, 4),
                         final_activation=True, activation=nn.relu,
-                        name="final_processor")(x)
+                        dtype=dt, name="final_processor")(x)
         mu = ResidualMLP(geometric_schedule(360, self.prediction_horizon, 5),
                          final_activation=False, use_skip_connection=False,
-                         activation=nn.relu, name="output_mu")(x)
+                         activation=nn.relu, dtype=dt, name="output_mu")(x)
         logvar = ResidualMLP(geometric_schedule(360, self.prediction_horizon, 5),
                              final_activation=False, use_skip_connection=False,
-                             activation=nn.relu, name="output_logvar")(x)
+                             activation=nn.relu, dtype=dt,
+                             name="output_logvar")(x)
         return mu, jnp.clip(logvar, -8.0, 8.0)
 
 
@@ -171,34 +175,37 @@ class ConvWindowDecoder(nn.Module):
     prediction_horizon: int = 480
     feature_channels: int = 16
     feature_len: int = 30
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
         b, s, _ = z.shape
+        dt = self.dtype
         fdim = self.feature_channels * self.feature_len
         x = ResidualMLP(geometric_schedule(self.latent_dim, 50, 5),
                         final_activation=True, activation=nn.relu,
-                        name="linear_0")(z)
+                        dtype=dt, name="linear_0")(z)
         x = ResidualMLP(geometric_schedule(50, fdim, 5),
                         final_activation=True, activation=nn.relu,
-                        name="linear_1")(x)
+                        dtype=dt, name="linear_1")(x)
         # shared conv stack over the per-timestep feature maps
         x = x.reshape(b * s, self.feature_len, self.feature_channels)
         spec = [(32, 11, False), (32, 9, True), (24, 7, True),
                 (16, 5, True), (8, 3, True), (1, 3, False)]
         for i, (feat, k, up) in enumerate(spec):
-            x = ReflectConvBlock(feat, k, up_sampling=up,
+            x = ReflectConvBlock(feat, k, up_sampling=up, dtype=dt,
                                  name=f"conv_{i}")(x, train)
         x = x.reshape(b, s, self.feature_len * 16)
         x = ResidualMLP((self.prediction_horizon, self.prediction_horizon),
                         final_activation=False, use_skip_connection=False,
-                        activation=nn.relu, name="pre_output")(x)
+                        activation=nn.relu, dtype=dt, name="pre_output")(x)
         mu = ResidualMLP((self.prediction_horizon,) * 3,
                          final_activation=False, use_skip_connection=False,
-                         activation=nn.relu, name="output_mu")(x)
+                         activation=nn.relu, dtype=dt, name="output_mu")(x)
         logvar = ResidualMLP((self.prediction_horizon,) * 3,
                              final_activation=False, use_skip_connection=False,
-                             activation=nn.relu, name="output_logvar")(x)
+                             activation=nn.relu, dtype=dt,
+                             name="output_logvar")(x)
         return mu, jnp.clip(logvar, -8.0, 8.0)
 
 
@@ -212,30 +219,32 @@ class PredictStDecoder(nn.Module):
     phase_channels: int = 44
     hidden: int = 256
     lstm_layers: int = 2
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
         b, s, _ = z.shape
+        dt = self.dtype
         lin = ResidualMLP(geometric_schedule(self.latent_dim, self.hidden, 4),
                           final_activation=True, activation=nn.gelu,
-                          name="linear_path")(z)
+                          dtype=dt, name="linear_path")(z)
         conv = z
         for i, (k, d) in enumerate(((3, 1), (3, 2), (3, 4), (3, 8))):
-            conv = CausalConvBlock(self.hidden, k, dilation=d,
+            conv = CausalConvBlock(self.hidden, k, dilation=d, dtype=dt,
                                    name=f"tcn_{i}")(conv, train)
         x = ResidualMLP((self.hidden, self.hidden), final_activation=True,
-                        activation=nn.gelu, name="path_fusion")(
+                        activation=nn.gelu, dtype=dt, name="path_fusion")(
             jnp.concatenate([lin, conv], axis=-1))
-        x, _ = LSTM(self.hidden, self.lstm_layers, name="lstm")(x)
+        x, _ = LSTM(self.hidden, self.lstm_layers, dtype=dt, name="lstm")(x)
         x = ResidualMLP((self.hidden, self.hidden), final_activation=True,
-                        activation=nn.gelu, name="post_lstm")(x)
+                        activation=nn.gelu, dtype=dt, name="post_lstm")(x)
 
         h = self.prediction_horizon
         out = {}
         for mod, c in (("scattering", self.scattering_channels),
                        ("phase_harmonic", self.phase_channels)):
-            mu = nn.Dense(h * c, name=f"{mod}_mu_head")(x)
-            lv = nn.Dense(h * c, name=f"{mod}_logvar_head")(x)
+            mu = nn.Dense(h * c, dtype=dt, name=f"{mod}_mu_head")(x)
+            lv = nn.Dense(h * c, dtype=dt, name=f"{mod}_logvar_head")(x)
             out[f"{mod}_mu"] = mu.reshape(b, s, h, c)
             out[f"{mod}_logvar"] = jnp.clip(lv.reshape(b, s, h, c),
                                             -10.0, 10.0)
@@ -260,11 +269,13 @@ class SeqVaeTebForecast(SeqVaeTeb):
         if self.decoder_type == "direct":
             self.window_decoder = DirectWindowDecoder(
                 latent_dim=self.latent_dim_z,
-                prediction_horizon=self.prediction_horizon)
+                prediction_horizon=self.prediction_horizon,
+                dtype=self.dtype)
         elif self.decoder_type == "conv_window":
             self.window_decoder = ConvWindowDecoder(
                 latent_dim=self.latent_dim_z,
-                prediction_horizon=self.prediction_horizon)
+                prediction_horizon=self.prediction_horizon,
+                dtype=self.dtype)
         else:
             raise ValueError(f"unknown decoder_type {self.decoder_type}")
 
@@ -306,7 +317,7 @@ class SeqVaeTebPredictSt(SeqVaeTeb):
             latent_dim=self.latent_dim_z,
             prediction_horizon=self.prediction_horizon,
             scattering_channels=self.n_scattering,
-            phase_channels=self.n_phase)
+            phase_channels=self.n_phase, dtype=self.dtype)
 
     def __call__(self, y_st, y_ph, x_ph, train: bool = True,
                  deterministic: bool = False):

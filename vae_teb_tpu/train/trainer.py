@@ -18,7 +18,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,21 @@ class TrainerConfig:
     early_stop_patience: int = 0     # 0 => disabled
     seed: int = 42
     log_every: int = 50
+    # compute-precision policy: "fp32" or "bf16" (params always fp32; the
+    # reference trains precision='16-mixed', graph_model.py:510 — bf16 on
+    # TPU needs no GradScaler because its exponent range equals fp32's)
+    precision: str = "fp32"
+    # average gradients over k micro-batches before one optimizer step
+    # (reference accumulate_grad_batches, graph_model.py:511)
+    accumulate_grad_batches: int = 1
+
+    def model_dtype(self):
+        import jax.numpy as jnp
+        if self.precision == "bf16":
+            return jnp.bfloat16
+        if self.precision in ("fp32", "float32"):
+            return None
+        raise ValueError(f"unknown precision: {self.precision!r}")
 
 
 class Trainer:
@@ -69,6 +84,12 @@ class Trainer:
               if config.lr_t0_steps > 0 else config.lr)
         self.tx = tx if tx is not None else make_optimizer(
             lr, config.grad_clip_norm, config.weight_decay)
+        if config.accumulate_grad_batches > 1:
+            # MultiSteps averages grads over k micro-batches and applies
+            # the inner chain once per k: the reference's batch-2 x accum
+            # effective-batch recipe (graph_model.py:511)
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=config.accumulate_grad_batches)
         self._beta_fn = beta_schedule(config.beta_schedule, config.beta_start,
                                       config.beta_end,
                                       config.beta_anneal_epochs,
@@ -99,6 +120,11 @@ class Trainer:
                                batch_stats=batch_stats,
                                opt_state=self.tx.init(params), rng=state_rng)
         # replicate across the mesh
+        return self.replicate(state)
+
+    def replicate(self, state: TrainState) -> TrainState:
+        """Home a (possibly host-resident, e.g. checkpoint-restored)
+        TrainState onto the mesh, replicated."""
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     # -- steps ---------------------------------------------------------------
@@ -166,18 +192,24 @@ class Trainer:
             val_batches: Optional[Callable[[int], Iterator]] = None,
             epochs: Optional[int] = None,
             checkpointer=None,
-            log_fn: Callable[[str], None] = print) -> TrainState:
+            log_fn: Callable[[str], None] = print,
+            callbacks: Sequence = (),
+            start_epoch: int = 0) -> TrainState:
         """Run the training loop.
 
         train_batches/val_batches: epoch index -> batch iterator (so each
         epoch reshuffles with a new seed, like DistributedSampler.set_epoch).
         checkpointer: optional train.checkpoint.Checkpointer, saves best-k
         on val total loss.
+        callbacks: objects with on_epoch_end(trainer, state, epoch) /
+        on_fit_end(trainer, state); exceptions are logged, never fatal.
+        start_epoch: resume point — epochs run [start_epoch, epochs).
         """
         cfg = self.config
         best_val = float("inf")
         bad_epochs = 0
-        for epoch in range(epochs if epochs is not None else cfg.epochs):
+        for epoch in range(start_epoch,
+                           epochs if epochs is not None else cfg.epochs):
             beta = self._beta_fn(epoch)
             t0 = time.time()
             train_metrics = []
@@ -212,6 +244,12 @@ class Trainer:
                                     train_avg.get("total_loss", float("inf")))
             if checkpointer is not None:
                 checkpointer.save(state, step=epoch, metric=monitored)
+            for cb in callbacks:
+                try:
+                    cb.on_epoch_end(self, state, epoch)
+                except Exception as e:  # plots must never kill training
+                    log_fn(f"callback {type(cb).__name__} failed at epoch "
+                           f"{epoch}: {e!r}")
             if monitored < best_val - 1e-12:
                 best_val = monitored
                 bad_epochs = 0
@@ -221,4 +259,10 @@ class Trainer:
                     log_fn(f"early stop at epoch {epoch} "
                            f"(no improvement for {bad_epochs} epochs)")
                     break
+        for cb in callbacks:
+            try:
+                cb.on_fit_end(self, state)
+            except Exception as e:
+                log_fn(f"callback {type(cb).__name__} on_fit_end failed: "
+                       f"{e!r}")
         return state
