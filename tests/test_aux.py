@@ -147,6 +147,32 @@ def test_device_memory_stats_shape():
 
 # -- CLI plumbing ---------------------------------------------------------------
 
+def test_layer_visualizers(tmp_path):
+    """Heatmap for 2-D kernels, histogram for 1-D biases, RMS overview —
+    observability parity with reference run_utils.py:106-176."""
+    from vae_teb_tpu.utils import (list_layers, visualize_layer_parameters,
+                                   visualize_weight_overview)
+    params = {"enc": {"dense": {"kernel": np.random.randn(8, 4),
+                                "bias": np.zeros(4)}},
+              "dec": {"dense": {"kernel": np.random.randn(4, 8),
+                                "bias": np.ones(8)}}}
+    layers = list_layers(params)
+    assert "enc/dense/kernel" in layers and len(layers) == 4
+    p1 = str(tmp_path / "kernel.png")
+    visualize_layer_parameters(params, "enc/dense/kernel", p1)
+    assert os.path.exists(p1)
+    p2 = str(tmp_path / "bias.png")
+    visualize_layer_parameters(params, "dec/dense/bias", p2)  # suffix match
+    assert os.path.exists(p2)
+    with pytest.raises(ValueError):
+        visualize_layer_parameters(params, "dense/kernel", p1)  # ambiguous
+    with pytest.raises(ValueError):
+        visualize_layer_parameters(params, "nope", p1)
+    p3 = str(tmp_path / "overview.png")
+    visualize_weight_overview(params, p3)
+    assert os.path.exists(p3)
+
+
 def test_cli_parser():
     from vae_teb_tpu.cli import main
     with pytest.raises(SystemExit):

@@ -90,9 +90,157 @@ def test_histogram_mi_matrix(rng):
     assert mi[0, 0] > mi[1, 1]  # channel 0 copied into z -> high MI
 
 
+@pytest.mark.skipif(not os.path.exists("/root/reference/utils"),
+                    reason="reference checkout not mounted")
+def test_gaussian_mi_matches_reference_estimator(rng):
+    """gaussian_mutual_information is NOT a substitution: the reference's
+    compute_mutual_information (utils/metrics_utils.py:8-82) is itself the
+    PCA + covariance-log-det Gaussian estimator, and ours must agree with it
+    exactly (same eps regularization, same full-SVD PCA), with and without
+    dimensionality reduction."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_metrics", "/root/reference/utils/metrics_utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    n, t = 400, 6
+    z = rng.standard_normal((n, t, 3))
+    x = np.concatenate([z + 0.3 * rng.standard_normal((n, t, 3)),
+                        rng.standard_normal((n, t, 2))], axis=2)
+    y = np.concatenate([z[:, :, :2] + 0.5 * rng.standard_normal((n, t, 2)),
+                        rng.standard_normal((n, t, 1))], axis=2)
+    for reduce_dim in (False, True):
+        theirs = ref.compute_mutual_information(
+            x, y, reduce_dim=reduce_dim, n_components_X=10, n_components_Y=5)
+        ours = gaussian_mutual_information(
+            x, y, reduce_dim=reduce_dim, n_components_X=10, n_components_Y=5)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-12), reduce_dim
+
+
 # ---------------------------------------------------------------------------
 # analyses on a real (small) model + dataset
 # ---------------------------------------------------------------------------
+
+def test_latent_interpolation_analysis(eval_setup, tmp_path):
+    """Latent interpolation endpoints decode to the endpoints' own
+    reconstructions; plots + GIF land on disk (reference
+    utils/data_utils.py:845-925)."""
+    evaluator, trimmed, _, _ = eval_setup
+    prefix = str(tmp_path / "interp")
+    gif = str(tmp_path / "interp.gif")
+    with jax.default_device(CPU):
+        res = evaluator.latent_interpolation(trimmed[0], trimmed[1], steps=3,
+                                             plot_prefix=prefix,
+                                             animate_path=gif)
+        # endpoint latents = the samples' own posterior means (computed on
+        # the same device: TPU/CPU fp32 matmul rounding differs)
+        a = evaluator.analyze_sample(trimmed[0]["fhr_st"][None],
+                                     trimmed[0]["fhr_ph"][None],
+                                     trimmed[0]["fhr_up_ph"][None])
+    k, s, d = res["z_path"].shape
+    assert k == 3
+    assert res["linear_output"].shape[:2] == (3, s)
+    np.testing.assert_allclose(res["z_path"][0], a["outputs"]["z"][0],
+                               atol=1e-5)
+    assert os.path.exists(prefix + "_z_latent.png")
+    assert os.path.exists(prefix + "_decoder.png")
+    assert os.path.exists(gif)
+
+
+def test_classification_epoch_sweep(tmp_path, rng):
+    from vae_teb_tpu.eval import classification_epoch_sweep
+    n = 200
+    epochs = np.repeat([0.0, 3600.0, 7200.0, -1200.0], n // 4)
+    labels = (rng.random(n) < 0.5).astype(int)
+    # separable scores: prob tracks the label with mild noise
+    probs = np.clip(labels * 0.8 + 0.1 + 0.05 * rng.standard_normal(n),
+                    0, 1)
+    preds = (probs >= 0.5).astype(int)
+    out_dir = str(tmp_path / "sweep")
+    res = classification_epoch_sweep(
+        {"epoch_num": epochs, "prob_class_1": probs,
+         "predicted_class": preds, "true_label": labels},
+        out_dir, exclude_epochs=(-1200.0,))
+    assert res["overall"]["auc"] > 0.95
+    assert len(res["by_epoch"]) == 3  # -1200 excluded
+    assert set(res["by_epoch"]["epoch_num"]) == {0.0, 3600.0, 7200.0}
+    np.testing.assert_allclose(res["by_epoch"]["epoch_hours"],
+                               [0.0, 1.0, 2.0])
+    for f in ("overall_roc.png", "overall_metrics.txt",
+              "group_metrics_by_epoch.csv", "auc_vs_epoch.png",
+              "accuracy_vs_epoch.png"):
+        assert os.path.exists(os.path.join(out_dir, f)), f
+
+
+def test_coefficient_error_stats_oracle(rng):
+    from vae_teb_tpu.eval import coefficient_error_stats
+    sx = rng.standard_normal((3, 5, 40)).astype(np.float32)
+    with jax.default_device(CPU):
+        stats = coefficient_error_stats(sx, sx, np.ones_like(sx))
+    np.testing.assert_allclose(np.asarray(stats["mse"]), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(stats["vaf"]), 1.0, atol=1e-6)
+    assert np.all(np.asarray(stats["snr_db"]) > 60.0)
+    # unit predicted variance, zero error: ll = -0.5 log(2 pi)
+    np.testing.assert_allclose(np.asarray(stats["log_likelihood"]),
+                               -0.5 * np.log(2 * np.pi), atol=1e-5)
+    # known noise level: SNR ~= 10 log10(E/sigma^2)
+    sigma = 0.1
+    noisy = sx + sigma * rng.standard_normal(sx.shape).astype(np.float32)
+    with jax.default_device(CPU):
+        stats2 = coefficient_error_stats(sx, noisy)
+    expected = 10 * np.log10((sx ** 2).mean() / sigma ** 2)
+    assert abs(np.asarray(stats2["snr_db"]).mean() - expected) < 2.0
+
+
+def test_seqvae_mse_test_and_prediction_accuracy(tmp_path, rng):
+    """Oracle stubs: a model whose linear_output IS the target must score
+    zero MSE; a predict-st model whose windows hold the exact future
+    coefficients must score zero chained-prediction MSE (semantics of
+    reference seqvae_mse_test / seqvae_prediction_accuracy_test,
+    predict_st graph_model.py:948,1115)."""
+    import types
+    from vae_teb_tpu.eval import prediction_accuracy_test, seqvae_mse_test
+    b, s, c_st, c_ph, h, p_idx = 2, 12, 4, 3, 3, 3
+    y_st = rng.standard_normal((b, s, c_st)).astype(np.float32)
+    y_ph = rng.standard_normal((b, s, c_ph)).astype(np.float32)
+    batch = {"fhr_st": y_st, "fhr_ph": y_ph,
+             "fhr_up_ph": np.zeros((b, s, 5), np.float32)}
+
+    recon = types.SimpleNamespace(apply=lambda *a, **k: {
+        "linear_output": jnp.concatenate([jnp.asarray(y_st),
+                                          jnp.asarray(y_ph)], axis=-1)})
+    with jax.default_device(CPU):
+        res = seqvae_mse_test(recon, {}, [batch], trim=2,
+                              out_dir=str(tmp_path / "mse"))
+    assert res["mse"].shape == (b, c_st + c_ph)
+    np.testing.assert_allclose(res["mse"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(res["vaf"], 1.0, atol=1e-6)
+    assert os.path.exists(str(tmp_path / "mse" / "error_stats-mse.npy"))
+
+    # exact future windows: mu[:, t, j, c] = target[:, t+1+j, c]
+    def windows_of(target):
+        w = np.zeros((b, s, h, target.shape[-1]), np.float32)
+        for t in range(s - h):
+            w[:, t] = target[:, t + 1:t + 1 + h]
+        return jnp.asarray(w)
+
+    pred = types.SimpleNamespace(apply=lambda *a, **k: {
+        "scattering_mu": windows_of(y_st),
+        "scattering_logvar": jnp.zeros((b, s, h, c_st)),
+        "phase_harmonic_mu": windows_of(y_ph),
+        "phase_harmonic_logvar": jnp.zeros((b, s, h, c_ph))})
+    with jax.default_device(CPU):
+        res2 = prediction_accuracy_test(pred, {}, [batch],
+                                        prediction_idx=p_idx,
+                                        out_dir=str(tmp_path / "pred"))
+    np.testing.assert_allclose(res2["scattering_mse"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(res2["phase_mse"], 0.0, atol=1e-12)
+    assert res2["scattering_vaf"].shape == (c_st,)
+    np.testing.assert_allclose(res2["scattering_vaf"], 1.0, atol=1e-6)
+    # zero logvar + zero error: ll = -0.5 log(2 pi)
+    np.testing.assert_allclose(res2["scattering_log_likelihood"],
+                               -0.5 * np.log(2 * np.pi), atol=1e-5)
+
 
 @pytest.fixture(scope="module")
 def eval_setup(tmp_path_factory):
@@ -196,3 +344,32 @@ def test_full_suite_artifacts(eval_setup, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "te_gain_sweep.png"))
     assert "te_shift" in results and "gain_sweep" in results
     assert any(f.startswith("analysis_") for f in os.listdir(out_dir))
+    assert results["errors"] == []  # clean data -> no isolated failures
+
+
+def test_suite_isolates_per_sample_failures(eval_setup, tmp_path, monkeypatch):
+    """One degenerate sample must not kill the run: the failing stage is
+    recorded in results['errors'] and every other analysis still lands
+    (reference per-sample try/except, graph_model.py:1203-1205,1439-1441)."""
+    evaluator, trimmed, raw, _ = eval_setup
+    out_dir = str(tmp_path / "suite_faulty")
+    calls = {"n": 0}
+    orig = type(evaluator).te_shift_analysis
+
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        raise RuntimeError("degenerate sample")
+
+    monkeypatch.setattr(type(evaluator), "te_shift_analysis", flaky)
+    with jax.default_device(CPU):
+        results = run_evaluation_suite(
+            evaluator, trimmed, out_dir, raw_dataset=raw, num_samples=4,
+            batch_size=2, shift_samples=2, shift_seconds=[-4, 0],
+            gains=(0.0, 1.0))
+    monkeypatch.setattr(type(evaluator), "te_shift_analysis", orig)
+    assert calls["n"] >= 1
+    assert all(e["stage"] == "te_shift" for e in results["errors"])
+    assert len(results["errors"]) == calls["n"]
+    # the rest of the suite completed despite the failures
+    assert os.path.exists(os.path.join(out_dir, "metrics.pkl"))
+    assert "gain_sweep" in results and "te_shift" not in results

@@ -99,6 +99,28 @@ def test_predict_st_variant(rng):
         assert np.isfinite(float(losses[k])), k
 
 
+def test_predict_st_acceptance_battery(rng):
+    """The scattering-domain acceptance test runs end-to-end on the real
+    predict-st variant (reference seqvae_prediction_accuracy_test,
+    predict_st graph_model.py:1115)."""
+    from vae_teb_tpu.eval import prediction_accuracy_test
+    with jax.default_device(CPU):
+        model = SeqVaeTebPredictSt(prediction_horizon=4)
+        key = jax.random.PRNGKey(2)
+        y_st, y_ph, x_ph = _inputs(rng)
+        v = model.init({"params": key, "sample": key}, y_st, y_ph, x_ph,
+                       train=False)
+        batch = {"fhr_st": np.asarray(y_st), "fhr_ph": np.asarray(y_ph),
+                 "fhr_up_ph": np.asarray(x_ph)}
+        res = prediction_accuracy_test(model, v, [batch], prediction_idx=4)
+    n, c_st, c_ph = y_st.shape[0], y_st.shape[2], y_ph.shape[2]
+    assert res["scattering_mse"].shape == (n, c_st)
+    assert res["phase_mse"].shape == (n, c_ph)
+    assert res["scattering_vaf"].shape == (c_st,)
+    for k, val in res.items():
+        assert np.all(np.isfinite(val)), k
+
+
 def test_predict_st_loss_warmup_guard(rng):
     preds = {k: jnp.zeros((1, 8, 6, 3)) for k in
              ("scattering_mu", "scattering_logvar",

@@ -3,6 +3,7 @@
 from .analyses import (GAINS_DEFAULT, SHIFT_SECONDS_DEFAULT, ModelEvaluator)
 from .classification import (aggregate_fold_results, auc,
                              binary_classification_report,
+                             classification_epoch_sweep,
                              confusion_at_threshold, latent_class_statistics,
                              plot_roc_pr_curves, roc_curve,
                              strike_rate_analysis)
@@ -10,6 +11,8 @@ from .metrics import (calculate_vaf, discretize_signal,
                       gaussian_log_likelihood, gaussian_mutual_information,
                       histogram_mutual_information, interpolate_latent,
                       reconstruction_metrics)
+from .predict_st import (coefficient_error_stats, prediction_accuracy_test,
+                         seqvae_mse_test)
 from .suite import run_evaluation_suite
 
 __all__ = [
@@ -18,7 +21,9 @@ __all__ = [
     "gaussian_mutual_information", "histogram_mutual_information",
     "interpolate_latent", "reconstruction_metrics",
     "run_evaluation_suite",
+    "coefficient_error_stats", "prediction_accuracy_test", "seqvae_mse_test",
     "aggregate_fold_results", "auc", "binary_classification_report",
+    "classification_epoch_sweep",
     "confusion_at_threshold", "latent_class_statistics",
     "plot_roc_pr_curves", "roc_curve", "strike_rate_analysis",
 ]

@@ -117,6 +117,48 @@ class ModelEvaluator:
         return {"outputs": {k: np.asarray(v) for k, v in out.items()},
                 "te_map": np.asarray(te_map)}
 
+    def latent_interpolation(self, sample_a: Dict, sample_b: Dict,
+                             steps: int = 8,
+                             plot_prefix: Optional[str] = None,
+                             animate_path: Optional[str] = None) -> Dict:
+        """Posterior-mean latents of two samples, a linear path between
+        them, and the decoder's coefficient reconstruction along the path
+        (reference latent interpolation/animation analyses,
+        utils/data_utils.py:845-925 driven by
+        graph_model_utils.interpolate_latent). All `steps` decodes run as
+        one batch."""
+        from .metrics import interpolate_latent
+
+        def _z(s):
+            out = self._forward(jnp.asarray(s["fhr_st"][None]),
+                                jnp.asarray(s["fhr_ph"][None]),
+                                jnp.asarray(s["fhr_up_ph"][None]))
+            return np.asarray(out["z"][0])                  # (S, D)
+
+        za, zb = _z(sample_a), _z(sample_b)
+        zs = interpolate_latent(za, zb, steps)              # (K, S, D)
+        lin, mu_pr, logvar_pr = self.model.apply(
+            self.variables, jnp.asarray(zs), False,
+            method=self.model.decode)
+        result = {"z_path": zs,
+                  "linear_output": np.asarray(lin),          # (K, S, C)
+                  "raw_mu": np.asarray(mu_pr),
+                  "raw_logvar": np.asarray(logvar_pr)}
+        z_maps = zs.transpose(0, 2, 1)                       # (K, D, S)
+        y_maps = result["linear_output"].transpose(0, 2, 1)  # (K, C, S)
+        len_signal = result["raw_mu"].shape[-1]
+        if plot_prefix is not None:
+            from .plots import plot_latent_interpolation
+            plot_latent_interpolation(z_maps, y_maps, plot_prefix,
+                                      len_signal=len_signal,
+                                      sample_rate_hz=self.sample_rate_hz)
+        if animate_path is not None:
+            from .plots import animate_latent_interpolation
+            animate_latent_interpolation(z_maps, y_maps, animate_path,
+                                         len_signal=len_signal,
+                                         sample_rate_hz=self.sample_rate_hz)
+        return result
+
     # -- on-the-fly cross-phase recomputation ----------------------------------
 
     def _require_recompute(self):

@@ -62,6 +62,96 @@ def binary_classification_report(labels, scores,
             "auc": auc(fpr, tpr)}
 
 
+def classification_epoch_sweep(results, out_dir: str,
+                               epoch_to_hours: float = 1.0 / 3600.0,
+                               exclude_epochs: Sequence[float] = ()) -> Dict:
+    """Per-window classification metrics swept over the window's position
+    in the record (the 'epoch_num' domain start), with metric-vs-hours
+    plots, an overall ROC, and CSV/txt summaries — the capability of the
+    reference's CSV analysis (utils/data_utils.py:1489-1700,
+    analyze_and_plot_classification_metrics).
+
+    results: a pandas DataFrame, a dict of columns, or a CSV path with
+    columns guid, epoch_num, prob_class_1, predicted_class, true_label
+    (extra columns ignored). Returns {"overall": report,
+    "by_epoch": DataFrame} and writes artifacts into out_dir.
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    if isinstance(results, str):
+        df = pd.read_csv(results)
+    elif isinstance(results, pd.DataFrame):
+        df = results.copy()
+    else:
+        df = pd.DataFrame(results)
+    required = {"epoch_num", "prob_class_1", "predicted_class", "true_label"}
+    missing = required - set(df.columns)
+    if missing:
+        raise ValueError(f"results missing columns: {sorted(missing)}")
+    if len(exclude_epochs):
+        df = df[~df["epoch_num"].isin(list(exclude_epochs))]
+    os.makedirs(out_dir, exist_ok=True)
+
+    # overall metrics + ROC
+    y_true = df["true_label"].to_numpy()
+    y_prob = df["prob_class_1"].to_numpy()
+    y_pred = df["predicted_class"].to_numpy()
+    overall = binary_classification_report(y_true, y_prob)
+    overall["accuracy"] = float((y_true == y_pred).mean())
+    fpr, tpr, _ = roc_curve(y_true, y_prob)
+    fig, ax = plt.subplots(figsize=(6, 5), constrained_layout=True)
+    ax.plot(fpr, tpr, lw=2, label=f"AUC = {overall['auc']:.3f}")
+    ax.plot([0, 1], [0, 1], "k--", lw=1)
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.set_title("Overall ROC")
+    ax.legend(loc="lower right")
+    fig.savefig(os.path.join(out_dir, "overall_roc.png"), dpi=110)
+    plt.close(fig)
+    with open(os.path.join(out_dir, "overall_metrics.txt"), "w") as f:
+        for k in ("accuracy", "precision", "sensitivity", "specificity",
+                  "f1", "auc"):
+            f.write(f"{k}: {overall[k]:.6f}\n")
+
+    # per-epoch-group sweep
+    rows = []
+    for epoch, g in df.groupby("epoch_num"):
+        yt = g["true_label"].to_numpy()
+        yp = g["predicted_class"].to_numpy()
+        ys = g["prob_class_1"].to_numpy()
+        rep = binary_classification_report(yt, ys)
+        rows.append({
+            "epoch_num": float(epoch),
+            "epoch_hours": float(epoch) * epoch_to_hours,
+            "n": len(g),
+            "accuracy": float((yt == yp).mean()),
+            "precision": rep["precision"],
+            "recall": rep["sensitivity"],
+            "specificity": rep["specificity"],
+            "f1": rep["f1"],
+            "auc": rep["auc"] if len(np.unique(yt)) > 1 else np.nan,
+        })
+    by_epoch = pd.DataFrame(rows).sort_values("epoch_num")
+    by_epoch.to_csv(os.path.join(out_dir, "group_metrics_by_epoch.csv"),
+                    index=False)
+    for metric in ("accuracy", "precision", "recall", "specificity",
+                   "f1", "auc"):
+        fig, ax = plt.subplots(figsize=(7, 4), constrained_layout=True)
+        ax.plot(by_epoch["epoch_hours"], by_epoch[metric], marker="o")
+        ax.set_xlabel("epoch (hours)")
+        ax.set_ylabel(metric)
+        ax.set_title(f"{metric} vs record position")
+        ax.grid(True, alpha=0.4)
+        fig.savefig(os.path.join(out_dir, f"{metric}_vs_epoch.png"), dpi=110)
+        plt.close(fig)
+    return {"overall": overall, "by_epoch": by_epoch}
+
+
 def strike_rate_analysis(labels, scores,
                          fpr_targets: Sequence[float] = (0.01, 0.05, 0.10,
                                                          0.20)) -> Dict:

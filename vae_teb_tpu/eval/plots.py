@@ -80,7 +80,10 @@ def plot_transfer_entropy_vs_shift(shift_seconds: np.ndarray, te: np.ndarray,
 def plot_metrics_histograms(metrics: Dict[str, np.ndarray],
                             save_path: str) -> None:
     """VAF / MSE / SNR / KLD histograms (reference plot_utils.py:844)."""
-    keys = [k for k in ("vaf", "mse", "snr_db", "kld") if k in metrics]
+    preferred = [k for k in ("vaf", "mse", "snr_db", "kld") if k in metrics]
+    keys = preferred or sorted(metrics)
+    if not keys:
+        return
     fig, axes = plt.subplots(1, len(keys), figsize=(4 * len(keys), 3.5),
                              constrained_layout=True)
     if len(keys) == 1:
@@ -125,6 +128,71 @@ def plot_te_gain_sweep(gains: np.ndarray, te: np.ndarray,
     ax.set_title(title or "transfer entropy vs UP gain")
     ax.legend()
     fig.savefig(save_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_latent_interpolation(z_latents: np.ndarray,
+                              decoder_outputs: np.ndarray,
+                              save_prefix: str,
+                              len_signal: int = 4800,
+                              sample_rate_hz: float = 4.0) -> None:
+    """Heatmap grids of interpolated latents and their decodings: one row
+    per interpolation step (reference plot_latent_interpolation,
+    utils/data_utils.py:845-883; writes <prefix>_z_latent.png and
+    <prefix>_decoder.png).
+
+    z_latents: (K, D, S) latent trajectories; decoder_outputs: (K, C, S).
+    """
+    dur = len_signal / sample_rate_hz
+    for arr, tag, ylabel in ((np.asarray(z_latents), "z_latent", "z"),
+                             (np.asarray(decoder_outputs), "decoder", "y")):
+        k = arr.shape[0]
+        fig, axes = plt.subplots(nrows=k, ncols=1,
+                                 figsize=(12, 2.2 * k + 1), squeeze=False,
+                                 constrained_layout=True)
+        for i in range(k):
+            im = axes[i, 0].imshow(arr[i], aspect="auto",
+                                   extent=[0, dur, arr[i].shape[0], 0])
+            fig.colorbar(im, ax=axes[i, 0])
+            axes[i, 0].set_ylabel(ylabel)
+            if i < k - 1:
+                axes[i, 0].set_xticklabels([])
+        axes[-1, 0].set_xlabel("time (s)")
+        fig.savefig(f"{save_prefix}_{tag}.png", dpi=100)
+        plt.close(fig)
+
+
+def animate_latent_interpolation(z_latents: np.ndarray,
+                                 decoder_outputs: np.ndarray,
+                                 save_path: str,
+                                 len_signal: int = 4800,
+                                 sample_rate_hz: float = 4.0,
+                                 interval_ms: int = 150) -> None:
+    """GIF sweeping through the latent interpolation frames (reference
+    animate_latent_interpolation, utils/data_utils.py:886-925)."""
+    from matplotlib import animation
+    z = np.asarray(z_latents)
+    y = np.asarray(decoder_outputs)
+    dur = len_signal / sample_rate_hz
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(12, 6),
+                                   constrained_layout=True)
+    im1 = ax1.imshow(z[0], aspect="auto", extent=[0, dur, z[0].shape[0], 0],
+                     vmin=z.min(), vmax=z.max())
+    ax1.set_ylabel("z")
+    fig.colorbar(im1, ax=ax1)
+    im2 = ax2.imshow(y[0], aspect="auto", extent=[0, dur, y[0].shape[0], 0],
+                     vmin=y.min(), vmax=y.max())
+    ax2.set_ylabel("y")
+    fig.colorbar(im2, ax=ax2)
+
+    def frame(i):
+        im1.set_data(z[i])
+        im2.set_data(y[i])
+        return im1, im2
+
+    ani = animation.FuncAnimation(fig, frame, frames=z.shape[0], blit=True,
+                                  repeat=False, interval=interval_ms)
+    ani.save(save_path, writer="pillow", dpi=80)
     plt.close(fig)
 
 

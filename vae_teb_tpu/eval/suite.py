@@ -40,6 +40,17 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
     """
     os.makedirs(out_dir, exist_ok=True)
     results: Dict = {}
+    # per-sample fault isolation: one degenerate sample must not kill a
+    # 50-sample analysis run (reference wraps each sample in try/except and
+    # keeps going, graph_model.py:1203-1205,1439-1441)
+    errors: list = []
+
+    def _guarded(stage: str, key, fn):
+        try:
+            return fn()
+        except Exception as e:
+            errors.append({"stage": stage, "sample": key, "error": repr(e)})
+            return None
 
     # 1) deterministic GUID preselection (reference :953-975)
     rng = np.random.default_rng(seed)
@@ -59,7 +70,7 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
     results["metrics"] = metrics
 
     # 3) per-sample analysis plots (reference :987-1208)
-    for k in sample_ids[:min(4, n)]:
+    def _analysis_plots(k: int):
         s = dataset[int(k)]
         analysis = evaluator.analyze_sample(s["fhr_st"][None],
                                             s["fhr_ph"][None],
@@ -76,6 +87,9 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
             os.path.join(out_dir, f"reconstruction_{guid}_{k}.png"),
             title=f"guid={guid}")
 
+    for k in sample_ids[:min(4, n)]:
+        _guarded("analysis_plot", int(k), lambda k=k: _analysis_plots(k))
+
     # 4) UP ablation (reference :1682-1777)
     ablation = evaluator.up_ablation(batches())
     plots.plot_te_ablation_results(
@@ -87,9 +101,8 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
             and raw_dataset is not None:
         shift_results = []
         n_raw = len(raw_dataset)
-        for k in sample_ids[:shift_samples]:
-            if int(k) >= n_raw:
-                continue
+
+        def _one_shift(k: int):
             s = raw_dataset[int(k)]
             res = evaluator.te_shift_analysis(
                 s["fhr"], s["up"], s["fhr_st"], s["fhr_ph"],
@@ -99,6 +112,11 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
                 res["shift_seconds"], res["te"],
                 os.path.join(out_dir, f"te_shift_{k}.png"),
                 title=f"sample {k}")
+
+        for k in sample_ids[:shift_samples]:
+            if int(k) >= n_raw:
+                continue
+            _guarded("te_shift", int(k), lambda k=k: _one_shift(k))
         if shift_results:
             results["te_shift"] = {
                 "shift_seconds": np.asarray(shift_seconds),
@@ -109,13 +127,17 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
             and raw_dataset is not None:
         gain_results = []
         n_raw = len(raw_dataset)
-        for k in sample_ids[:shift_samples]:
-            if int(k) >= n_raw:
-                continue
+
+        def _one_gain(k: int):
             s = raw_dataset[int(k)]
             res = evaluator.up_gain_sweep(s["fhr"], s["up"], s["fhr_st"],
                                           s["fhr_ph"], gains=gains)
             gain_results.append(res["te"])
+
+        for k in sample_ids[:shift_samples]:
+            if int(k) >= n_raw:
+                continue
+            _guarded("gain_sweep", int(k), lambda k=k: _one_gain(k))
         if gain_results:
             te_all = np.stack(gain_results)
             plots.plot_te_gain_sweep(
@@ -123,4 +145,5 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
                 os.path.join(out_dir, "te_gain_sweep.png"))
             results["gain_sweep"] = {"gains": np.asarray(gains), "te": te_all}
 
+    results["errors"] = errors
     return results
