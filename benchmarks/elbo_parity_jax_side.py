@@ -1,5 +1,11 @@
-"""Train this framework's SeqVaeTeb on the same dataset, same schedule."""
-import sys, time, json
+"""Train this framework's SeqVaeTeb on the same dataset, same schedule.
+
+Usage: python elbo_parity_jax_side.py [steps] [data_dir] [save_path]
+Defaults reproduce the round-1 60-step experiment; save_path pickles the
+final params/batch_stats for the behavioral comparison
+(parity_behavior_jax.py).
+"""
+import sys, time, json, pickle
 sys.path.insert(0, '/root/repo')
 import numpy as np, jax
 from vae_teb_tpu.data import CombinedHDF5Dataset
@@ -7,7 +13,11 @@ from vae_teb_tpu.models import SeqVaeTeb
 from vae_teb_tpu.parallel import data_parallel_mesh
 from vae_teb_tpu.train import Trainer, TrainerConfig
 
-ds = CombinedHDF5Dataset('/tmp/parity/p.h5', stats_path='/tmp/parity/ps.h5',
+steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+data_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/parity'
+save_path = sys.argv[3] if len(sys.argv) > 3 else None
+
+ds = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                          trim_minutes=2.0, cache_size=0)
 mesh = data_parallel_mesh(devices=jax.devices()[:1])
 trainer = Trainer(SeqVaeTeb(), TrainerConfig(lr=1e-3, grad_clip_norm=0.5,
@@ -16,7 +26,6 @@ B = 4
 order = np.arange(len(ds))
 state = trainer.init_state(ds.collate(order[:B]))
 losses = []
-steps = 60
 t0 = time.time()
 for step in range(steps):
     idx = order[(step * B) % len(ds):(step * B) % len(ds) + B]
@@ -24,4 +33,8 @@ for step in range(steps):
     batch = ds.collate(idx)
     state, m = trainer.train_step(state, batch, beta=1e-5)
     losses.append({k: float(v) for k, v in m.items()})
+if save_path:
+    with open(save_path, 'wb') as f:
+        pickle.dump({"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}, f)
 print(json.dumps({"losses": losses, "seconds": time.time()-t0}))
