@@ -345,6 +345,13 @@ def test_full_suite_artifacts(eval_setup, tmp_path):
     assert "te_shift" in results and "gain_sweep" in results
     assert any(f.startswith("analysis_") for f in os.listdir(out_dir))
     assert results["errors"] == []  # clean data -> no isolated failures
+    # the scattering-domain acceptance battery ran on the same samples
+    acc = results["coefficient_acceptance"]
+    n_coeff = trimmed[0]["fhr_st"].shape[-1] + trimmed[0]["fhr_ph"].shape[-1]
+    assert acc["mse"].shape[1] == n_coeff  # per (sample, channel)
+    assert np.all(np.isfinite(acc["vaf"]))
+    assert os.path.exists(os.path.join(
+        out_dir, "coefficient_error_stats-mse.npy"))
 
 
 def test_suite_isolates_per_sample_failures(eval_setup, tmp_path, monkeypatch):

@@ -145,5 +145,18 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
                 os.path.join(out_dir, "te_gain_sweep.png"))
             results["gain_sweep"] = {"gains": np.asarray(gains), "te": te_all}
 
+    # 7) scattering-domain acceptance battery (reference seqvae_mse_test,
+    # predict_st graph_model.py:948-1113): coefficient-domain accuracy of
+    # the decoder's linear_output on the same preselected samples
+    def _coeff_battery():
+        from .predict_st import seqvae_mse_test
+        return seqvae_mse_test(evaluator.model, evaluator.variables,
+                               batches(), out_dir=out_dir,
+                               tag="coefficient_error_stats")
+
+    stats = _guarded("coefficient_acceptance", None, _coeff_battery)
+    if stats is not None:
+        results["coefficient_acceptance"] = stats
+
     results["errors"] = errors
     return results
