@@ -55,11 +55,24 @@ def cmd_train(args) -> int:
                         ReconstructionPlotCallback, Trainer, load_config)
     from .utils import get_logger, setup_logging
 
+    import jax
+
+    if getattr(args, "multihost", False):
+        # one controller per host over a DCN-connected slice; the mesh then
+        # spans global devices and XLA routes the gradient all-reduce over
+        # ICI within slices and DCN across them (SURVEY.md §5.8's target
+        # topology; the reference's torchrun+NCCL equivalent)
+        jax.distributed.initialize()
+    rank = jax.process_index()
+    world = jax.process_count()
+
     cfg = load_config(args.config, root=args.root)
     run_dir = cfg.run_dir()
-    setup_logging(os.path.join(run_dir, "train_results", "train.log"))
+    setup_logging(os.path.join(run_dir, "train_results",
+                               f"train.log" if world == 1
+                               else f"train_rank{rank}.log"))
     log = get_logger()
-    log.info("run dir: %s", run_dir)
+    log.info("run dir: %s (process %d/%d)", run_dir, rank, world)
 
     train_ds = _loaders(cfg, "train")
     val_ds = _loaders(cfg, "val")
@@ -101,21 +114,31 @@ def cmd_train(args) -> int:
                 with open(history_path, "rb") as f:
                     trainer.history = pickle.load(f)
 
+    # per-process batch: each host iterates its disjoint shard of every
+    # epoch and contributes local_bs rows of the global batch
+    local_bs = global_bs // world
+
     def train_batches(epoch):
-        return train_ds.as_batches(global_bs, shuffle=True, seed=epoch)
+        return train_ds.as_batches(local_bs, shuffle=True, seed=epoch,
+                                   shard_index=rank, shard_count=world)
 
     def val_batches(epoch):
         if val_ds is None:
             return iter(())
+        # multi-host: shard validation too, and drop ragged tails so every
+        # process contributes equal-shape slices to the global array
         return val_ds.as_batches(cfg.dataset.eval_batch_size, shuffle=False,
-                                 drop_last=False)
+                                 drop_last=world > 1,
+                                 shard_index=rank, shard_count=world)
 
-    callbacks = [
+    # plotting/history callbacks run on rank 0 only (the reference's
+    # callbacks are likewise rank-0, pytorch_lightning_modules.py:100)
+    callbacks = [] if rank else [
         HistoryCallback(history_path),
         LossCurveCallback(os.path.join(run_dir, "train_results",
                                        "loss_curves.png")),
     ]
-    if val_ds is not None and len(val_ds) and args.plot_every > 0:
+    if not rank and val_ds is not None and len(val_ds) and args.plot_every > 0:
         plot_batch = val_ds.collate(range(min(2, len(val_ds))))
         callbacks.append(ReconstructionPlotCallback(
             os.path.join(run_dir, "train_results", "reconstructions"),
@@ -240,6 +263,11 @@ def main(argv: Optional[list] = None) -> int:
                     metavar="CKPT_DIR",
                     help="resume from the latest checkpoint (optionally "
                          "from an explicit checkpoint directory)")
+    pt.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() first: one process "
+                         "per host across a multi-slice TPU pod; data is "
+                         "sharded per process, gradients all-reduce over "
+                         "ICI/DCN")
     pt.add_argument("--plot-every", type=int, default=10,
                     help="epochs between val-reconstruction plots "
                          "(0 disables)")

@@ -172,6 +172,13 @@ class Trainer:
 
     def _put(self, batch) -> Dict[str, jnp.ndarray]:
         sh = batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its local slice of the
+            # global batch (the loader's shard slicing guarantees disjoint,
+            # equal-size per-process batches)
+            return {k: jax.make_array_from_process_local_data(
+                        sh, np.asarray(batch[k]))
+                    for k in ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr")}
         return {k: jax.device_put(np.asarray(batch[k]), sh)
                 for k in ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr")}
 
