@@ -35,6 +35,28 @@ def test_pair_table_prod(golden_loader):
     np.testing.assert_array_equal(m.pairs.autoc_idx, g["autoc_idx"])
 
 
+def test_phi_decimate_operator_matches_fft_path(golden_loader):
+    """The precomputed dense decimation operator must reproduce the chained
+    pad->truncated-FFT->phi->IFFT->unpad path it replaces (the operator is
+    composed in float64, so agreement is at fp32 resolution, far inside
+    the golden tolerances)."""
+    g = golden_loader("small_o2_phase")
+    m = _model(g)
+    assert m._decim_LrT is not None
+    rng = np.random.default_rng(3)
+    cr = jnp.asarray(rng.standard_normal((2, 5, int(g["N"]))).astype("f4"))
+    ci = jnp.asarray(rng.standard_normal((2, 5, int(g["N"]))).astype("f4"))
+    out_mat = np.asarray(m._phi_decimate(cr, ci))
+    lrt, m._decim_LrT = m._decim_LrT, None  # force the FFT path
+    try:
+        out_fft = np.asarray(m._phi_decimate(cr, ci))
+    finally:
+        m._decim_LrT = lrt
+    assert out_mat.shape == out_fft.shape
+    err = np.abs(out_mat - out_fft).max() / (np.abs(out_fft).max() + 1e-12)
+    assert err < 1e-5
+
+
 @pytest.mark.parametrize("name", ["small_o2_phase", "prod_phase"])
 def test_phase_corr_golden(name, golden_loader):
     g = golden_loader(name)
