@@ -63,6 +63,41 @@ def reflect_pad(x: jnp.ndarray, pad_left: int, pad_right: int) -> jnp.ndarray:
     return x
 
 
+_LP_OP_CACHE: dict = {}
+
+
+def _build_lowpass_time_operator(phi: np.ndarray, k_j: int,
+                                 i_start: int, i_end: int) -> np.ndarray:
+    """Dense (M -> i_end-i_start) operator equal to the second-stage chain
+    applied to a REAL time signal u of length M = len(phi):
+
+        out = irfft( subsample_fourier( fft(u) * phi, 2**k_j ) )[i_start:i_end]
+
+    The chain is linear, so it folds into one fp32 matrix (composed in
+    float64) whose matmul tiles the MXU — replacing a per-group
+    rfft -> fold -> irfft cascade of sub-tile DFT stages. Same trick as
+    ops.phase._build_phi_decimation_operator.
+    """
+    m = len(phi)
+    key = (m, k_j, i_start, i_end, hash(phi.tobytes()))
+    hit = _LP_OP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mf = m >> k_j
+    out = np.empty((m, i_end - i_start), np.float32)
+    phi64 = np.asarray(phi, np.float64)
+    for c0 in range(0, m, 1024):
+        c1 = min(c0 + 1024, m)
+        block = np.zeros((c1 - c0, m))
+        block[np.arange(c1 - c0), np.arange(c0, c1)] = 1.0
+        spec = np.fft.fft(block, axis=-1) * phi64
+        folded = spec.reshape(c1 - c0, 1 << k_j, mf).mean(axis=1)
+        time = np.fft.ifft(folded, axis=-1).real
+        out[c0:c1] = time[:, i_start:i_end].astype(np.float32)
+    _LP_OP_CACHE[key] = out
+    return out
+
+
 def subsample_fourier(x_hat: jnp.ndarray, k: int) -> jnp.ndarray:
     """Fold the spectrum into N/k bins by period averaging == decimate the
     time signal by k. Operates on one real component of a split-complex pair."""
@@ -160,6 +195,21 @@ class Scattering1D:
         self.pad_left, self.pad_right = fb.pad_left, fb.pad_right
         self.log2_T = log2_T
 
+        # dense second-stage operators per input resolution: modulus time
+        # signal at resolution k_in -> smoothed/decimated/unpadded output
+        # (see _build_lowpass_time_operator). Keyed by every k_in the
+        # order-1/order-2 lowpass consumers use.
+        k_ins = set(k1 for k1, _ in self._groups1)
+        k_ins.update(k1 + k2 for k1, k2, *_ in self._groups2)
+        self._lp_time_ops = {}
+        for k_in in sorted(k_ins):
+            k_j = max(log2_T - k_in - oversampling, 0)
+            k_tot = k_in + k_j
+            op = _build_lowpass_time_operator(
+                fb.phi_levels[k_in], k_j,
+                int(fb.ind_start[k_tot]), int(fb.ind_end[k_tot]))
+            self._lp_time_ops[k_in] = jnp.asarray(op, dtype)
+
     @property
     def output_channels(self) -> int:
         return 1 + self.fb.n_order1 + self._n2_pairs
@@ -214,14 +264,20 @@ class Scattering1D:
         k_tot = k_in + k_j
         return s[..., int(self.ind_start[k_tot]):int(self.ind_end[k_tot])]
 
-    def _band_modulus(self, u0_re, u0_im, filt, k1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """psi multiply -> Fourier fold by 2^k1 -> IFFT -> |.| -> FFT.
-        Returns the spectrum of the modulus at resolution k1."""
+    def _lowpass_time(self, u: jnp.ndarray, k_in: int) -> jnp.ndarray:
+        """Second stage on a REAL time-domain modulus at resolution k_in:
+        one dense matmul (phi smooth + 2^k_j decimation + unpad composed,
+        _build_lowpass_time_operator)."""
+        return jnp.matmul(u, self._lp_time_ops[k_in],
+                          precision=sfft._PRECISION)
+
+    def _band_modulus(self, u0_re, u0_im, filt, k1) -> jnp.ndarray:
+        """psi multiply -> Fourier fold by 2^k1 -> IFFT -> |.|.
+        Returns the TIME-domain modulus at resolution k1."""
         y_re = subsample_fourier(u0_re[:, None, :] * filt[None, :, :], 2 ** k1)
         y_im = subsample_fourier(u0_im[:, None, :] * filt[None, :, :], 2 ** k1)
         t_re, t_im = sfft.ifft(y_re, y_im)
-        u = sfft.modulus(t_re, t_im).astype(self.dtype)
-        return sfft.rfft(u)
+        return sfft.modulus(t_re, t_im).astype(self.dtype)
 
     @partial(jax.jit, static_argnums=0)
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -246,10 +302,11 @@ class Scattering1D:
 
         s1_parts, u1_hats = [], {}
         for k1, rows in self._groups1:
-            u1_re, u1_im = self._band_modulus(u0_re, u0_im, self.psi1_f[rows], k1)
+            u1 = self._band_modulus(u0_re, u0_im, self.psi1_f[rows], k1)
             if self.max_order >= 2:
-                u1_hats[k1] = (rows, u1_re, u1_im)
-            s1_parts.append(self._lowpass(u1_re, u1_im, k1))
+                # the order-2 cascade consumes the SPECTRUM of |U1|
+                u1_hats[k1] = (rows, *sfft.rfft(u1))
+            s1_parts.append(self._lowpass_time(u1, k1))
         s1 = jnp.concatenate(s1_parts, axis=1)[:, self._order1_perm, :]
 
         outs = [s0, s1]
@@ -265,8 +322,7 @@ class Scattering1D:
                 y_im = subsample_fourier(u1_im[:, pos, :] * filt, 2 ** k2)
                 t_re, t_im = sfft.ifft(y_re, y_im)
                 u2 = sfft.modulus(t_re, t_im).astype(self.dtype)
-                u2_re, u2_im = sfft.rfft(u2)
-                s2 = s2.at[:, idxs, :].set(self._lowpass(u2_re, u2_im, k1 + k2))
+                s2 = s2.at[:, idxs, :].set(self._lowpass_time(u2, k1 + k2))
             outs.append(s2)
 
         return jnp.concatenate(outs, axis=1)
