@@ -67,7 +67,33 @@ def golden_case(name, J, Q, T, N, max_order, batch=2, cross=False, seed=0):
     print(f"wrote {name}: scattering {record['scattering'].shape}")
 
 
+def golden_mi(name="mi_gaussian", seed=7):
+    """Reference Gaussian MI estimator outputs on fixed inputs
+    (utils/metrics_utils.py:8-82). Executed ONCE here at fixture-build time
+    so tests never exec the untrusted reference tree at test time."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_metrics", "/root/reference/utils/metrics_utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    rng = np.random.default_rng(seed)
+    n, t = 400, 6
+    z = rng.standard_normal((n, t, 3))
+    x = np.concatenate([z + 0.3 * rng.standard_normal((n, t, 3)),
+                        rng.standard_normal((n, t, 2))], axis=2)
+    y = np.concatenate([z[:, :, :2] + 0.5 * rng.standard_normal((n, t, 2)),
+                        rng.standard_normal((n, t, 1))], axis=2)
+    record = {"x": x, "y": y}
+    for reduce_dim in (False, True):
+        record[f"mi_reduce{int(reduce_dim)}"] = ref.compute_mutual_information(
+            x, y, reduce_dim=reduce_dim, n_components_X=10, n_components_Y=5)
+    np.savez_compressed(os.path.join(OUT, name + ".npz"), **record)
+    print(f"wrote {name}: mi={record['mi_reduce0']}, "
+          f"mi_reduced={record['mi_reduce1']}")
+
+
 if __name__ == "__main__":
+    golden_mi()
     # Small config exercises order 2 + both phase paths quickly.
     golden_case("small_o2_phase", J=6, Q=2, T=8, N=1024, max_order=2, seed=1)
     golden_case("small_o2_cross", J=6, Q=2, T=8, N=1024, max_order=2,

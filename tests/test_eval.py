@@ -90,28 +90,20 @@ def test_histogram_mi_matrix(rng):
     assert mi[0, 0] > mi[1, 1]  # channel 0 copied into z -> high MI
 
 
-@pytest.mark.skipif(not os.path.exists("/root/reference/utils"),
-                    reason="reference checkout not mounted")
-def test_gaussian_mi_matches_reference_estimator(rng):
+def test_gaussian_mi_matches_reference_estimator():
     """gaussian_mutual_information is NOT a substitution: the reference's
     compute_mutual_information (utils/metrics_utils.py:8-82) is itself the
     PCA + covariance-log-det Gaussian estimator, and ours must agree with it
     exactly (same eps regularization, same full-SVD PCA), with and without
-    dimensionality reduction."""
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "ref_metrics", "/root/reference/utils/metrics_utils.py")
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
-    n, t = 400, 6
-    z = rng.standard_normal((n, t, 3))
-    x = np.concatenate([z + 0.3 * rng.standard_normal((n, t, 3)),
-                        rng.standard_normal((n, t, 2))], axis=2)
-    y = np.concatenate([z[:, :, :2] + 0.5 * rng.standard_normal((n, t, 2)),
-                        rng.standard_normal((n, t, 1))], axis=2)
+    dimensionality reduction. Compared against a golden fixture generated
+    once by tests/make_golden.py:golden_mi — the untrusted reference tree is
+    never executed at test time."""
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "mi_gaussian.npz")
+    g = np.load(path)
+    x, y = g["x"], g["y"]
     for reduce_dim in (False, True):
-        theirs = ref.compute_mutual_information(
-            x, y, reduce_dim=reduce_dim, n_components_X=10, n_components_Y=5)
+        theirs = float(g[f"mi_reduce{int(reduce_dim)}"])
         ours = gaussian_mutual_information(
             x, y, reduce_dim=reduce_dim, n_components_X=10, n_components_Y=5)
         np.testing.assert_allclose(ours, theirs, rtol=1e-12), reduce_dim
@@ -190,6 +182,16 @@ def test_coefficient_error_stats_oracle(rng):
         stats2 = coefficient_error_stats(sx, noisy)
     expected = 10 * np.log10((sx ** 2).mean() / sigma ** 2)
     assert abs(np.asarray(stats2["snr_db"]).mean() - expected) < 2.0
+    # NONZERO-error VAF oracle (regression for the squared-residual bug):
+    # residual = sigma*noise, so VAF = 1 - var(res)/var(sx) ~= 1 - sigma^2
+    # for unit-variance sx. The old err^2-based formula gives ~1 - 2e-4.
+    vaf2 = np.asarray(stats2["vaf"])
+    per_ch_sig = sx.transpose(1, 0, 2).reshape(sx.shape[1], -1).var(axis=1)
+    per_ch_res = (noisy - sx).transpose(1, 0, 2).reshape(
+        sx.shape[1], -1).var(axis=1)
+    np.testing.assert_allclose(vaf2, 1.0 - per_ch_res / (per_ch_sig + 1e-12),
+                               atol=1e-5)
+    assert np.all(vaf2 < 1.0 - 0.5 * sigma ** 2)
 
 
 def test_seqvae_mse_test_and_prediction_accuracy(tmp_path, rng):
@@ -240,6 +242,11 @@ def test_seqvae_mse_test_and_prediction_accuracy(tmp_path, rng):
     # zero logvar + zero error: ll = -0.5 log(2 pi)
     np.testing.assert_allclose(res2["scattering_log_likelihood"],
                                -0.5 * np.log(2 * np.pi), atol=1e-5)
+
+    # a trim that would leave an empty interior must raise, not emit NaNs
+    # (reference prediction_accuracy_test has the analogous length check)
+    with pytest.raises(ValueError, match="too short"):
+        seqvae_mse_test(recon, {}, [batch], trim=s // 2)
 
 
 @pytest.fixture(scope="module")

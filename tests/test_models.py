@@ -125,6 +125,52 @@ def test_source_encoder_causal():
     assert np.abs(np.asarray(base)[:, 12:] - np.asarray(pert)[:, 12:]).max() > 1e-3
 
 
+def test_source_encoder_streaming_matches_full():
+    """encode_source_stream chained over uneven chunks must reproduce the
+    full-sequence encoding exactly — the incremental-serving contract
+    (reference SourceEncoder.get_sequence_encoding,
+    vae_teb_model.py:723-740, recomputes the full forward; this API carries
+    conv tails + LSTM (h, c) instead)."""
+    from vae_teb_tpu.models import source_stream_init_state
+    with jax.default_device(CPU):
+        m = SourceEncoder()
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 24, 130)).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+        full = np.asarray(m.apply(v, jnp.asarray(x), train=False))
+
+        state = source_stream_init_state(2)
+        outs = []
+        for lo, hi in ((0, 5), (5, 6), (6, 15), (15, 24)):  # uneven chunks
+            mu, state = m.apply(v, jnp.asarray(x[:, lo:hi]), state,
+                                method="stream")
+            outs.append(np.asarray(mu))
+        np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
+                                   rtol=0, atol=1e-5)
+
+        # reference-parity slice API
+        sl = np.asarray(m.apply(v, jnp.asarray(x), 9,
+                                method="get_sequence_encoding"))
+        np.testing.assert_allclose(sl, full[:, :10], atol=1e-6)
+
+
+def test_seqvaeteb_streaming_api(small_model_state):
+    """The SeqVaeTeb-level wrappers route to the source encoder with the
+    model's own variables."""
+    model, variables, (y_st, y_ph, x_ph) = small_model_state
+    from vae_teb_tpu.models import SeqVaeTeb  # noqa: F401 (clarity)
+    with jax.default_device(CPU):
+        enc = model.apply(variables, y_st, y_ph, x_ph, train=False,
+                          method="encode")
+        state = model.init_source_stream_state(x_ph.shape[0])
+        mu1, state = model.apply(variables, x_ph[:, :7], state,
+                                 method="encode_source_stream")
+        mu2, state = model.apply(variables, x_ph[:, 7:], state,
+                                 method="encode_source_stream")
+        stream = np.concatenate([np.asarray(mu1), np.asarray(mu2)], axis=1)
+    np.testing.assert_allclose(stream, np.asarray(enc["mu_x"]), atol=1e-5)
+
+
 def test_seqvaeteb_forward_and_loss(small_model_state):
     model, variables, (y_st, y_ph, x_ph) = small_model_state
     with jax.default_device(CPU):

@@ -38,8 +38,10 @@ def coefficient_error_stats(sx: jnp.ndarray, mu: jnp.ndarray,
     en_mse = mse / (energy + 1e-12)
     snr_db = 10.0 * jnp.log10((energy + 1e-12) / (mse + 1e-12))
     # VAF per channel over the pooled batch (reference calculate_vaf,
-    # utils_st/graph_model_utils.py:27)
-    res_var = err2.transpose(1, 0, 2).reshape(sx.shape[1], -1).var(axis=1)
+    # utils_st/graph_model_utils.py:27): variance of the RESIDUAL, not of
+    # its square — var((sx-mu)^2) != var(sx-mu).
+    res = sx - mu
+    res_var = res.transpose(1, 0, 2).reshape(sx.shape[1], -1).var(axis=1)
     sig_var = sx.transpose(1, 0, 2).reshape(sx.shape[1], -1).var(axis=1)
     vaf = 1.0 - res_var / (sig_var + 1e-12)
     out = {"mse": mse, "energy_normalized_mse": en_mse, "snr_db": snr_db,
@@ -102,6 +104,10 @@ def seqvae_mse_test(model, variables, batches: Iterable,
                           jnp.asarray(batch["fhr_up_ph"]),
                           train=False, deterministic=True)
         s = y_st.shape[1]
+        if s <= 2 * trim:
+            raise ValueError(
+                f"sequence length {s} too short for trim {trim}: the "
+                f"interior slice [{trim}:{s - trim}] would be empty")
         lo, hi = trim, s - trim
         sx = jnp.concatenate([y_st, y_ph], axis=-1)
         sx = sx.transpose(0, 2, 1)[:, :, lo:hi]                # (B, C, L)

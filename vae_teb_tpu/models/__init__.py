@@ -6,7 +6,7 @@ from .inception_time import (InceptionTimeClassifier, SeqVaeTebClassifier,
                              cross_entropy_loss)
 from .vae_teb import (ConditionalEncoder, Decoder, SeqVaeTeb, SourceEncoder,
                       TargetEncoder, decoder_loss, gaussian_kld, gaussian_nll,
-                      stitch_predictions)
+                      source_stream_init_state, stitch_predictions)
 from .variants import (ConvWindowDecoder, DirectWindowDecoder,
                        PredictStDecoder, SeqVaeTebForecast, SeqVaeTebPredictSt,
                        future_window_targets, ldam_loss, predict_st_loss,
@@ -18,7 +18,7 @@ __all__ = [
     "InceptionTimeClassifier", "SeqVaeTebClassifier", "cross_entropy_loss",
     "ConditionalEncoder", "Decoder", "SeqVaeTeb", "SourceEncoder",
     "TargetEncoder", "decoder_loss", "gaussian_kld", "gaussian_nll",
-    "stitch_predictions",
+    "source_stream_init_state", "stitch_predictions",
     "ConvWindowDecoder", "DirectWindowDecoder", "PredictStDecoder",
     "SeqVaeTebForecast", "SeqVaeTebPredictSt", "future_window_targets",
     "ldam_loss", "predict_st_loss", "sliding_window_nll",

@@ -104,9 +104,18 @@ class CausalConv1d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 carry: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """carry: optional (B, (k-1)*dilation, C) tail of the PRECEDING
+        input chunk — streaming inference substitutes it for the zero left
+        pad, making chunked application bit-equal to one full-sequence call
+        (reference get_sequence_encoding's causal contract,
+        vae_teb_model.py:723-740)."""
         pad = (self.kernel_size - 1) * self.dilation
-        x = jnp.pad(x, [(0, 0), (pad, 0), (0, 0)])
+        if carry is None:
+            x = jnp.pad(x, [(0, 0), (pad, 0), (0, 0)])
+        else:
+            x = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
         return nn.Conv(self.features, (self.kernel_size,),
                        kernel_dilation=(self.dilation,), padding="VALID",
                        use_bias=self.use_bias,
@@ -128,11 +137,15 @@ class CausalConvBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 carry: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if self.up_sampling:
+            if carry is not None:
+                raise ValueError("streaming carry is incompatible with "
+                                 "up_sampling")
             x = linear_upsample(x, self.up_sample_scale)
         y = CausalConv1d(self.features, self.kernel_size, self.dilation,
-                         use_bias=self.use_bias, dtype=self.dtype)(x)
+                         use_bias=self.use_bias, dtype=self.dtype)(x, carry)
         if self.use_batch_norm:
             # Batch stats reduce over (batch, seq); under sharded jit the
             # batch-axis reduction is global => sync-BN across the mesh for
@@ -194,8 +207,15 @@ class LSTM(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray,
-                                                Tuple[jnp.ndarray, jnp.ndarray]]:
+    def __call__(self, x: jnp.ndarray,
+                 initial_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+                 = None) -> Tuple[jnp.ndarray,
+                                  Tuple[jnp.ndarray, jnp.ndarray]]:
+        """initial_state: optional (h, c), each (num_layers, B, H) — carried
+        hidden/cell state for streaming inference. Defaults to zeros (the
+        full-sequence convention). Returns (outputs, (h, c)) with the final
+        state in the same stacked layout, so the return value chains
+        directly into the next call."""
         b, s, _ = x.shape
         h_size = self.hidden_size
 
@@ -251,9 +271,16 @@ class LSTM(nn.Module):
                 inp = h
             return (tuple(new_h), tuple(new_c)), inp
 
-        zeros = jnp.zeros((b, h_size), x.dtype)
-        init = (tuple(zeros for _ in range(self.num_layers)),
-                tuple(zeros for _ in range(self.num_layers)))
+        if initial_state is None:
+            zeros = jnp.zeros((b, h_size), x.dtype)
+            init = (tuple(zeros for _ in range(self.num_layers)),
+                    tuple(zeros for _ in range(self.num_layers)))
+        else:
+            h0, c0 = initial_state
+            init = (tuple(h0[l].astype(x.dtype)
+                          for l in range(self.num_layers)),
+                    tuple(c0[l].astype(x.dtype)
+                          for l in range(self.num_layers)))
         (h_f, c_f), ys = jax.lax.scan(step, init,
                                       jnp.swapaxes(x_proj, 0, 1),
                                       unroll=self.unroll)

@@ -158,34 +158,100 @@ class TargetEncoder(nn.Module):
         return mu, jnp.clip(logvar, -10.0, 10.0)
 
 
+SOURCE_CONV_KERNELS = (3, 5, 7)
+SOURCE_CONV_WIDTH = 32
+
+
+def source_stream_init_state(batch_size: int,
+                             lstm_num_layers: int = 4,
+                             lstm_hidden_dim: int = 64,
+                             dtype: Optional[Dtype] = None) -> Dict:
+    """Zero-initialized carried state for SourceEncoder.stream: one causal
+    tail per conv layer (the zero left pad of the full-sequence call) plus
+    the stacked LSTM (h, c). A plain function so callers can build the
+    state without a bound module."""
+    dt = dtype or jnp.float32
+    tails = tuple(jnp.zeros((batch_size, k - 1, SOURCE_CONV_WIDTH), dt)
+                  for k in SOURCE_CONV_KERNELS)
+    h = jnp.zeros((lstm_num_layers, batch_size, lstm_hidden_dim), dt)
+    return {"conv_tails": tails, "h": h, "c": jnp.zeros_like(h)}
+
+
 class SourceEncoder(nn.Module):
     """x_ph -> mu_x: MLP channel reduction, causal convs, causal LSTM
     (reference :589-740). Everything is unidirectional: the source encoding
-    at step t sees only x[<=t]."""
+    at step t sees only x[<=t] — which is what makes `stream` possible."""
     input_channels: int = 130
     latent_dim: int = 32
     lstm_hidden_dim: int = 64
     lstm_num_layers: int = 4
     dtype: Optional[Dtype] = None
 
-    @nn.compact
-    def __call__(self, x, train: bool = True):
+    def setup(self):
         dt = self.dtype
-        x = ResidualMLP(geometric_schedule(self.input_channels, 32, 5),
-                        final_activation=False, activation=nn.relu,
-                        dtype=dt, name="mlp")(x)
-        for i, k in enumerate((3, 5, 7)):
-            x = CausalConvBlock(32, k, dtype=dt, name=f"conv_{i}")(x, train)
-        x = nn.LayerNorm(dtype=dt, name="fused_norm")(x)
-        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt,
-                    name="lstm")(x)
-        x = nn.LayerNorm(dtype=dt, name="lstm_norm")(x)
-        x = ResidualMLP(geometric_schedule(self.lstm_hidden_dim, 32, 4),
-                        final_activation=True, activation=nn.relu,
-                        dtype=dt, name="pre_output")(x)
-        return ResidualMLP(geometric_schedule(32, self.latent_dim, 4),
-                           final_activation=False, activation=nn.relu,
-                           dtype=dt, name="mu_layer")(x)
+        self.mlp = ResidualMLP(
+            geometric_schedule(self.input_channels, SOURCE_CONV_WIDTH, 5),
+            final_activation=False, activation=nn.relu, dtype=dt)
+        self.conv_0 = CausalConvBlock(SOURCE_CONV_WIDTH,
+                                      SOURCE_CONV_KERNELS[0], dtype=dt)
+        self.conv_1 = CausalConvBlock(SOURCE_CONV_WIDTH,
+                                      SOURCE_CONV_KERNELS[1], dtype=dt)
+        self.conv_2 = CausalConvBlock(SOURCE_CONV_WIDTH,
+                                      SOURCE_CONV_KERNELS[2], dtype=dt)
+        self.fused_norm = nn.LayerNorm(dtype=dt)
+        self.lstm = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt)
+        self.lstm_norm = nn.LayerNorm(dtype=dt)
+        self.pre_output = ResidualMLP(
+            geometric_schedule(self.lstm_hidden_dim, 32, 4),
+            final_activation=True, activation=nn.relu, dtype=dt)
+        self.mu_layer = ResidualMLP(
+            geometric_schedule(32, self.latent_dim, 4),
+            final_activation=False, activation=nn.relu, dtype=dt)
+
+    def _head(self, x):
+        x = self.lstm_norm(x)
+        x = self.pre_output(x)
+        return self.mu_layer(x)
+
+    def __call__(self, x, train: bool = True):
+        x = self.mlp(x)
+        for conv in (self.conv_0, self.conv_1, self.conv_2):
+            x = conv(x, train)
+        x = self.fused_norm(x)
+        x, _ = self.lstm(x)
+        return self._head(x)
+
+    def stream(self, x, state: Dict) -> Tuple[jnp.ndarray, Dict]:
+        """Incremental causal encoding for serving: process one chunk
+        (B, S_chunk, C) given the carried state and return
+        (mu_x_chunk, new_state). Chaining chunks reproduces __call__'s
+        full-sequence output exactly (eval mode) — the incremental-inference
+        entry the reference only sketches (SourceEncoder.get_sequence_encoding,
+        /root/reference/model/vae_teb_model.py:723-740, which recomputes the
+        full forward per call).
+
+        state: from source_stream_init_state(batch_size, ...). BatchNorm
+        runs on running averages (train=False); streaming during training
+        is not meaningful."""
+        y = self.mlp(x)
+        tails = []
+        for conv, tail in zip((self.conv_0, self.conv_1, self.conv_2),
+                              state["conv_tails"]):
+            full = jnp.concatenate([tail.astype(y.dtype), y], axis=1)
+            tails.append(full[:, -tail.shape[1]:, :])
+            y = conv(y, train=False, carry=tail)
+        y = self.fused_norm(y)
+        y, (h, c) = self.lstm(y, initial_state=(state["h"], state["c"]))
+        mu = self._head(y)
+        return mu, {"conv_tails": tuple(tails), "h": h, "c": c}
+
+    def get_sequence_encoding(self, x, timestep: int):
+        """Causal encoding up to `timestep` inclusive (reference API,
+        vae_teb_model.py:723-740): full forward, sliced. For true
+        incremental serving use `stream`."""
+        timestep = min(timestep, x.shape[1] - 1)
+        mu = self(x, train=False)
+        return mu[:, : timestep + 1, :]
 
 
 class ConditionalEncoder(nn.Module):
@@ -338,6 +404,25 @@ class SeqVaeTeb(nn.Module):
         """Decoder-only entry (latent interpolation / animation analyses):
         z (B, S, latent) -> (linear_output, raw mu, raw logvar)."""
         return self.decoder(z, train)
+
+    def encode_source_stream(self, x_chunk, state: Dict):
+        """Incremental causal source encoding for serving: one chunk in,
+        (mu_x_chunk, new_state) out. Use with
+        apply(variables, chunk, state, method="encode_source_stream");
+        build the initial state with init_source_stream_state(batch_size).
+        Chained chunks equal one full-sequence encode exactly."""
+        return self.source_encoder.stream(x_chunk, state)
+
+    def init_source_stream_state(self, batch_size: int) -> Dict:
+        """Carried-state pytree for encode_source_stream. Plain field math —
+        callable on the unbound module (no variables needed)."""
+        return source_stream_init_state(batch_size, lstm_num_layers=4,
+                                        lstm_hidden_dim=64, dtype=self.dtype)
+
+    def get_sequence_encoding(self, x_ph, timestep: int):
+        """Reference-parity API (vae_teb_model.py:723-740): causal source
+        encoding up to `timestep` inclusive via a full forward + slice."""
+        return self.source_encoder.get_sequence_encoding(x_ph, timestep)
 
     def measure_transfer_entropy(self, y_st, y_ph, x_ph,
                                  reduce_mean: bool = False):

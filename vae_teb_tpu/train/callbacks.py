@@ -90,13 +90,31 @@ class ReconstructionPlotCallback(Callback):
         if epoch % self.every:
             return
         from ..eval.plots import plot_vae_reconstruction
+        import jax
         import jax.numpy as jnp
         b = self.batch
         k = min(self.max_samples, len(b["fhr"]))
-        out = trainer.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            jnp.asarray(b["fhr_st"][:k]), jnp.asarray(b["fhr_ph"][:k]),
-            jnp.asarray(b["fhr_up_ph"][:k]), train=False, deterministic=True)
+        # Fetch the replicated params to host first: in multihost the state
+        # holds global (non-fully-addressable-per-process) arrays, and
+        # applying them directly against local inputs raises every epoch.
+        variables = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        # Run the plot forward jitted ON THE HOST CPU: a 2-sample eval pass
+        # neither needs the training device nor tolerates eager per-op
+        # dispatch through a remote-device tunnel (thousands of round
+        # trips); CPU also sidesteps multihost global-array placement.
+        try:
+            plot_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            plot_dev = jax.devices()[0]
+        apply_fn = jax.jit(
+            lambda v, a, c, d: trainer.model.apply(
+                v, a, c, d, train=False, deterministic=True))
+        with jax.default_device(plot_dev):
+            out = apply_fn(
+                variables,
+                jnp.asarray(b["fhr_st"][:k]), jnp.asarray(b["fhr_ph"][:k]),
+                jnp.asarray(b["fhr_up_ph"][:k]))
         mu = np.asarray(out["mu_pr"], np.float32)
         logvar = np.asarray(out["logvar_pr"], np.float32)
         for i in range(k):

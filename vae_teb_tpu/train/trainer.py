@@ -249,7 +249,11 @@ class Trainer:
 
             monitored = val_avg.get("total_loss",
                                     train_avg.get("total_loss", float("inf")))
-            if checkpointer is not None:
+            # Rank-0-only save: in multihost every process sees the same
+            # replicated state, and concurrent writes to the same Orbax step
+            # path / index.json would race on shared storage (the reference's
+            # ModelCheckpoint is likewise rank-coordinated).
+            if checkpointer is not None and jax.process_index() == 0:
                 checkpointer.save(state, step=epoch, metric=monitored)
             for cb in callbacks:
                 try:
