@@ -2,7 +2,9 @@
 UP-ablation TE drop, TE-vs-shift curve — the JAX half of the cross-framework
 behavioral comparison (see parity_behavior_torch.py for the torch half).
 
-Usage: python parity_behavior_jax.py ckpt.pkl data_dir out.json [n_te] [n_shift]
+Usage: python parity_behavior_jax.py ckpt.pkl data_dir out.json [n_te] [n_shift] [precision]
+precision bf16 probes the checkpoint under the same compute policy it was
+trained with.
 """
 import sys, json, pickle
 sys.path.insert(0, '/root/repo')
@@ -15,11 +17,12 @@ from vae_teb_tpu.ops import PhaseScattering1D
 ckpt, data_dir, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
 n_te = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 n_shift = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+precision = sys.argv[6] if len(sys.argv) > 6 else 'fp32'
 SHIFTS_S = [-60, -45, -30, -15, 0]
 
 with open(ckpt, 'rb') as f:
     variables = pickle.load(f)
-model = SeqVaeTeb()
+model = SeqVaeTeb(dtype=jnp.bfloat16 if precision == 'bf16' else None)
 
 ds = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                          trim_minutes=2.0, cache_size=0)

@@ -30,7 +30,11 @@ class MiniVae(nn.Module):
     @nn.compact
     def __call__(self, y_st, y_ph, x_ph, train=True, deterministic=False):
         h = jnp.concatenate([y_st, y_ph, x_ph], axis=-1)
-        h = nn.Dense(32)(h)
+        # no bias into BatchNorm: a pre-BN bias has a mathematically-zero
+        # gradient, which AdamW turns into amplified reduction-order noise —
+        # it would break cross-topology parity tests for no modeling gain
+        # (the real model's conv blocks are use_bias=False for this reason)
+        h = nn.Dense(32, use_bias=False)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.1)(h)
         h = nn.relu(h)
         mu_post = nn.Dense(8)(h)
@@ -301,6 +305,31 @@ def test_full_model_data_parallel_parity(cpu_mesh_devices):
     assert seq[-1] < seq[0]
 
 
+@pytest.mark.slow
+def test_full_model_production_shape_multidevice(cpu_mesh_devices):
+    """ONE production-shape step of the shipping SeqVaeTeb (S=300, raw 4800,
+    the 4800-wide heads) through the 8-device mesh with the production
+    training policy (bf16 + grad accumulation): finite loss, step
+    increments. Until round 3, every full-model mesh run used S=16 toy
+    shapes; this is the evidence that the real configuration compiles and
+    executes under sharding (compile-heavy: several minutes on this host)."""
+    s = 300
+    rng = np.random.default_rng(52)
+    batch = {
+        "fhr_st": rng.standard_normal((8, s, 43)).astype(np.float32),
+        "fhr_ph": rng.standard_normal((8, s, 44)).astype(np.float32),
+        "fhr_up_ph": rng.standard_normal((8, s, 130)).astype(np.float32),
+        "fhr": rng.standard_normal((8, s * 16)).astype(np.float32),
+    }
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    cfg = TrainerConfig(lr=1e-3, precision="bf16", accumulate_grad_batches=2)
+    trainer = Trainer(SeqVaeTeb(dtype=cfg.model_dtype()), cfg, mesh=mesh)
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch, beta=1e-5)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+
+
 def test_resume_continues_training(tmp_path, cpu_mesh_devices):
     """Kill-and-resume: a fresh Trainer restoring the latest checkpoint and
     continuing from start_epoch must pick up exactly where the first run
@@ -369,6 +398,43 @@ def test_callbacks_fire_and_failures_are_isolated(tmp_path, cpu_mesh_devices):
     assert any("Bomb" in l for l in logs)
     assert os.path.exists(hist_path)
     assert os.path.exists(str(tmp_path / "loss.png"))
+
+
+def test_memory_monitor_callback(monkeypatch):
+    """Records per-epoch HBM peaks into trainer.history and warns when
+    usage crosses the threshold fraction of the device limit (reference
+    MemoryMonitorCallback, pytorch_lightning_modules.py:567-638)."""
+    import types
+    from vae_teb_tpu.train import MemoryMonitorCallback
+    import vae_teb_tpu.utils.profiling as prof
+
+    fake_stats = {"dev0": {"mb_in_use": 950.0, "peak_mb_in_use": 980.0,
+                           "mb_limit": 1000.0},
+                  "dev1": {"mb_in_use": 100.0, "peak_mb_in_use": 200.0,
+                           "mb_limit": 1000.0},
+                  "cpu": {}}
+    monkeypatch.setattr(prof, "device_memory_stats", lambda: fake_stats)
+
+    warnings = []
+    cb = MemoryMonitorCallback(threshold_fraction=0.9, log_fn=warnings.append)
+    trainer = types.SimpleNamespace(history={})
+    cb.on_epoch_end(trainer, None, epoch=3)
+    assert trainer.history["hbm_mb_in_use"] == [950.0]
+    assert trainer.history["hbm_peak_mb"] == [980.0]
+    assert len(warnings) == 1 and "dev0" in warnings[0]
+
+    # below threshold: records, no warning
+    fake_stats["dev0"]["mb_in_use"] = 500.0
+    cb2 = MemoryMonitorCallback(threshold_fraction=0.9,
+                                log_fn=warnings.append)
+    cb2.on_epoch_end(trainer, None, epoch=4)
+    assert len(warnings) == 1
+    assert trainer.history["hbm_mb_in_use"] == [950.0, 500.0]
+
+    # no devices reporting stats: a silent no-op
+    monkeypatch.setattr(prof, "device_memory_stats", lambda: {"cpu": {}})
+    cb2.on_epoch_end(trainer, None, epoch=5)
+    assert len(trainer.history["hbm_mb_in_use"]) == 2
 
 
 def test_beta_schedules():

@@ -52,7 +52,8 @@ def _loaders(cfg, split: str):
 
 def cmd_train(args) -> int:
     from .train import (Checkpointer, HistoryCallback, LossCurveCallback,
-                        ReconstructionPlotCallback, Trainer, load_config)
+                        MemoryMonitorCallback, ReconstructionPlotCallback,
+                        Trainer, load_config)
     from .utils import get_logger, setup_logging
 
     import jax
@@ -138,6 +139,10 @@ def cmd_train(args) -> int:
         LossCurveCallback(os.path.join(run_dir, "train_results",
                                        "loss_curves.png")),
     ]
+    # HBM watcher runs on EVERY rank: each process can only see its own
+    # devices (reference MemoryMonitorCallback polls all local GPUs,
+    # pytorch_lightning_modules.py:567-638)
+    callbacks.append(MemoryMonitorCallback(log_fn=log.warning))
     if not rank and val_ds is not None and len(val_ds) and args.plot_every > 0:
         plot_batch = val_ds.collate(range(min(2, len(val_ds))))
         callbacks.append(ReconstructionPlotCallback(

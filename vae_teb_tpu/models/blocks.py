@@ -182,6 +182,79 @@ class ReflectConvBlock(nn.Module):
         return jnp.tanh(y) if self.tanh else nn.relu(y)
 
 
+class LSTMStream:
+    """A prepared multi-layer LSTM invocation: hoisted layer-0 input
+    projection, precision-cast weights, and the initial (h, c) tuples —
+    everything the scan body needs. Produced by LSTM.__call__(...,
+    prepare=True); consumed by run_lstm_streams, which can fuse SEVERAL
+    independent streams into ONE lax.scan."""
+
+    def __init__(self, x_proj, w_ih, w_hh, biases, init):
+        self.x_proj = x_proj          # (B, S, 4H)
+        self.w_ih = w_ih              # per-layer input kernels (layer 0 consumed)
+        self.w_hh = w_hh              # per-layer recurrent kernels
+        self.biases = biases          # per-layer biases (layer 0 consumed)
+        self.init = init              # (hs tuple, cs tuple)
+
+
+def _lstm_cell(gates, h, c):
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _stream_step(stream: "LSTMStream", carry, xp0):
+    """Advance one stream's full layer stack by one timestep."""
+    hs, cs = carry
+    new_h, new_c = [], []
+    inp = None
+    for layer in range(len(stream.w_hh)):
+        if layer == 0:
+            gates = xp0 + hs[0] @ stream.w_hh[0]
+        else:
+            gates = (inp @ stream.w_ih[layer] + stream.biases[layer]
+                     + hs[layer] @ stream.w_hh[layer])
+        h, c = _lstm_cell(gates, hs[layer], cs[layer])
+        new_h.append(h)
+        new_c.append(c)
+        inp = h
+    return (tuple(new_h), tuple(new_c)), inp
+
+
+def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16):
+    """Run N independent prepared LSTM streams in ONE lax.scan.
+
+    TPU rationale: each per-step matmul is (B, H)x(H, 4H) with H=64 — far
+    below one MXU tile — so a seq-300 LSTM is pure sequential-iteration
+    latency, and XLA executes independent scans SEQUENTIALLY (one TPU
+    program, no streams). The two encoder LSTMs of SeqVaeTeb therefore cost
+    two full scan latencies when run separately; fusing them into one scan
+    body halves the sequential iteration count in the forward AND the
+    backward pass.
+
+    Returns [(ys (B,S,H), (h_stack, c_stack)), ...] matching LSTM.__call__.
+    """
+    xs = tuple(jnp.swapaxes(st.x_proj, 0, 1) for st in streams)
+    init = tuple(st.init for st in streams)
+
+    def step(carries, xp0s):
+        new_carries, outs = [], []
+        for st, carry, xp0 in zip(streams, carries, xp0s):
+            carry, out = _stream_step(st, carry, xp0)
+            new_carries.append(carry)
+            outs.append(out)
+        return tuple(new_carries), tuple(outs)
+
+    finals, ys = jax.lax.scan(step, init, xs, unroll=unroll)
+    out = []
+    for (h_f, c_f), y in zip(finals, ys):
+        out.append((jnp.swapaxes(y, 0, 1), (jnp.stack(h_f), jnp.stack(c_f))))
+    return out
+
+
 class LSTM(nn.Module):
     """Multi-layer unidirectional LSTM over (B, S, C), ONE lax.scan total.
 
@@ -196,7 +269,8 @@ class LSTM(nn.Module):
     layer, and `unroll` shrinks it further. Layer 0's input projection is
     still hoisted out as one large (B*S, C)x(C, 4H) matmul; deeper layers
     project inside the body ((B,H)x(H,4H) — the same tile class as the
-    recurrent matmul they sit next to).
+    recurrent matmul they sit next to). For multiple independent LSTMs in
+    one program, pass prepare=True and fuse via run_lstm_streams.
     """
     hidden_size: int
     num_layers: int = 1
@@ -209,13 +283,16 @@ class LSTM(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  initial_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
-                 = None) -> Tuple[jnp.ndarray,
-                                  Tuple[jnp.ndarray, jnp.ndarray]]:
+                 = None, prepare: bool = False):
         """initial_state: optional (h, c), each (num_layers, B, H) — carried
         hidden/cell state for streaming inference. Defaults to zeros (the
         full-sequence convention). Returns (outputs, (h, c)) with the final
         state in the same stacked layout, so the return value chains
-        directly into the next call."""
+        directly into the next call.
+
+        prepare=True returns an LSTMStream instead of scanning — the caller
+        fuses several streams into one scan with run_lstm_streams (numerics
+        identical: the fused body runs this module's exact cell math)."""
         b, s, _ = x.shape
         h_size = self.hidden_size
 
@@ -247,30 +324,6 @@ class LSTM(nn.Module):
         x_proj = x.reshape(b * s, x.shape[-1]) @ w_ih[0]
         x_proj = (x_proj + biases[0]).reshape(b, s, 4 * h_size)
 
-        def cell(gates, h, c):
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-            g = jnp.tanh(g)
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
-            return h, c
-
-        def step(carry, xp0):
-            hs, cs = carry
-            new_h, new_c = [], []
-            inp = None
-            for layer in range(self.num_layers):
-                if layer == 0:
-                    gates = xp0 + hs[0] @ w_hh[0]
-                else:
-                    gates = (inp @ w_ih[layer] + biases[layer]
-                             + hs[layer] @ w_hh[layer])
-                h, c = cell(gates, hs[layer], cs[layer])
-                new_h.append(h)
-                new_c.append(c)
-                inp = h
-            return (tuple(new_h), tuple(new_c)), inp
-
         if initial_state is None:
             zeros = jnp.zeros((b, h_size), x.dtype)
             init = (tuple(zeros for _ in range(self.num_layers)),
@@ -281,7 +334,8 @@ class LSTM(nn.Module):
                           for l in range(self.num_layers)),
                     tuple(c0[l].astype(x.dtype)
                           for l in range(self.num_layers)))
-        (h_f, c_f), ys = jax.lax.scan(step, init,
-                                      jnp.swapaxes(x_proj, 0, 1),
-                                      unroll=self.unroll)
-        return jnp.swapaxes(ys, 0, 1), (jnp.stack(h_f), jnp.stack(c_f))
+
+        stream = LSTMStream(x_proj, w_ih, w_hh, biases, init)
+        if prepare:
+            return stream
+        return run_lstm_streams([stream], unroll=self.unroll)[0]

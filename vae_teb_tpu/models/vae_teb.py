@@ -113,7 +113,9 @@ def stitch_predictions(x: jnp.ndarray, stride: int = 16,
 class TargetEncoder(nn.Module):
     """y_st + y_ph -> (mu, logvar_full): per-modality MLP + causal convs,
     cross-modal fusion, 4-layer LSTM, variational heads
-    (reference :406-586)."""
+    (reference :406-586). Split into pre_lstm / post_lstm around the LSTM so
+    SeqVaeTeb.encode can fuse this LSTM with the source encoder's into one
+    scan (see blocks.run_lstm_streams)."""
     latent_dim: int = 32
     lstm_hidden_dim: int = 64
     lstm_num_layers: int = 4
@@ -121,41 +123,62 @@ class TargetEncoder(nn.Module):
     n_phase: int = 44
     dtype: Optional[Dtype] = None
 
-    @nn.compact
-    def __call__(self, y_st, y_ph, train: bool = True):
+    def setup(self):
         dt = self.dtype
-        sc = ResidualMLP(geometric_schedule(self.n_scattering, 16, 4),
-                         final_activation=False, activation=nn.gelu,
-                         dtype=dt, name="mlp_scattering")(y_st)
-        ph = ResidualMLP(geometric_schedule(self.n_phase, 16, 4),
-                         final_activation=False, activation=nn.relu,
-                         dtype=dt, name="mlp_phase")(y_ph)
-        for i, k in enumerate((3, 5, 7)):
-            sc = CausalConvBlock(16, k, dtype=dt,
-                                 name=f"conv_scattering_{i}")(sc, train)
-        sc = nn.LayerNorm(dtype=dt, name="scatter_fused_norm")(sc)
-        for i, k in enumerate((3, 5, 7)):
-            ph = CausalConvBlock(16, k, dtype=dt,
-                                 name=f"conv_phase_{i}")(ph, train)
-        ph = nn.LayerNorm(dtype=dt, name="phase_fused_norm")(ph)
+        self.mlp_scattering = ResidualMLP(
+            geometric_schedule(self.n_scattering, 16, 4),
+            final_activation=False, activation=nn.gelu, dtype=dt)
+        self.mlp_phase = ResidualMLP(
+            geometric_schedule(self.n_phase, 16, 4),
+            final_activation=False, activation=nn.relu, dtype=dt)
+        self.conv_scattering_0 = CausalConvBlock(16, 3, dtype=dt)
+        self.conv_scattering_1 = CausalConvBlock(16, 5, dtype=dt)
+        self.conv_scattering_2 = CausalConvBlock(16, 7, dtype=dt)
+        self.scatter_fused_norm = nn.LayerNorm(dtype=dt)
+        self.conv_phase_0 = CausalConvBlock(16, 3, dtype=dt)
+        self.conv_phase_1 = CausalConvBlock(16, 5, dtype=dt)
+        self.conv_phase_2 = CausalConvBlock(16, 7, dtype=dt)
+        self.phase_fused_norm = nn.LayerNorm(dtype=dt)
+        self.cross_modal_fusion = ResidualMLP(
+            geometric_schedule(32, 20, 5), final_activation=False,
+            activation=nn.relu, dtype=dt)
+        self.lstm = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt)
+        self.lstm_norm = nn.LayerNorm(dtype=dt)
+        self.pre_output = ResidualMLP(
+            geometric_schedule(self.lstm_hidden_dim, 32, 5),
+            final_activation=True, activation=nn.relu, dtype=dt)
+        self.mu_layer = ResidualMLP(
+            geometric_schedule(32, self.latent_dim, 32),
+            final_activation=False, activation=nn.relu, dtype=dt)
+        self.logvar_layer = ResidualMLP(
+            geometric_schedule(32, 2 * self.latent_dim, 4),
+            final_activation=False, activation=nn.relu, dtype=dt)
 
+    def pre_lstm(self, y_st, y_ph, train: bool = True):
+        sc = self.mlp_scattering(y_st)
+        ph = self.mlp_phase(y_ph)
+        for conv in (self.conv_scattering_0, self.conv_scattering_1,
+                     self.conv_scattering_2):
+            sc = conv(sc, train)
+        sc = self.scatter_fused_norm(sc)
+        for conv in (self.conv_phase_0, self.conv_phase_1,
+                     self.conv_phase_2):
+            ph = conv(ph, train)
+        ph = self.phase_fused_norm(ph)
         x = jnp.concatenate([sc, ph], axis=-1)
-        x = ResidualMLP(geometric_schedule(32, 20, 5), final_activation=False,
-                        activation=nn.relu, dtype=dt,
-                        name="cross_modal_fusion")(x)
-        x, _ = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt,
-                    name="lstm")(x)
-        x = nn.LayerNorm(dtype=dt, name="lstm_norm")(x)
-        x = ResidualMLP(geometric_schedule(self.lstm_hidden_dim, 32, 5),
-                        final_activation=True, activation=nn.relu,
-                        dtype=dt, name="pre_output")(x)
-        mu = ResidualMLP(geometric_schedule(32, self.latent_dim, 32),
-                         final_activation=False, activation=nn.relu,
-                         dtype=dt, name="mu_layer")(x)
-        logvar = ResidualMLP(geometric_schedule(32, 2 * self.latent_dim, 4),
-                             final_activation=False, activation=nn.relu,
-                             dtype=dt, name="logvar_layer")(x)
+        return self.cross_modal_fusion(x)
+
+    def post_lstm(self, x):
+        x = self.lstm_norm(x)
+        x = self.pre_output(x)
+        mu = self.mu_layer(x)
+        logvar = self.logvar_layer(x)
         return mu, jnp.clip(logvar, -10.0, 10.0)
+
+    def __call__(self, y_st, y_ph, train: bool = True):
+        x = self.pre_lstm(y_st, y_ph, train)
+        x, _ = self.lstm(x)
+        return self.post_lstm(x)
 
 
 SOURCE_CONV_KERNELS = (3, 5, 7)
@@ -208,16 +231,19 @@ class SourceEncoder(nn.Module):
             geometric_schedule(32, self.latent_dim, 4),
             final_activation=False, activation=nn.relu, dtype=dt)
 
+    def pre_lstm(self, x, train: bool = True):
+        x = self.mlp(x)
+        for conv in (self.conv_0, self.conv_1, self.conv_2):
+            x = conv(x, train)
+        return self.fused_norm(x)
+
     def _head(self, x):
         x = self.lstm_norm(x)
         x = self.pre_output(x)
         return self.mu_layer(x)
 
     def __call__(self, x, train: bool = True):
-        x = self.mlp(x)
-        for conv in (self.conv_0, self.conv_1, self.conv_2):
-            x = conv(x, train)
-        x = self.fused_norm(x)
+        x = self.pre_lstm(x, train)
         x, _ = self.lstm(x)
         return self._head(x)
 
@@ -363,9 +389,23 @@ class SeqVaeTeb(nn.Module):
                                dtype=self.dtype)
 
     def encode(self, y_st, y_ph, x_ph, train: bool = True):
-        """All three encoders; returns the distribution parameters."""
-        mu_x = self.source_encoder(x_ph, train)
-        mu_y, logvar_full = self.target_encoder(y_st, y_ph, train)
+        """All three encoders; returns the distribution parameters.
+
+        The source and target LSTMs are independent until the conditional
+        encoder, but XLA executes independent lax.scans SEQUENTIALLY (one
+        TPU program, no streams) — so both are prepared and run in ONE
+        fused scan (blocks.run_lstm_streams), halving the sequential
+        seq-300 iteration count in forward and backward."""
+        from .blocks import run_lstm_streams
+        se, te = self.source_encoder, self.target_encoder
+        se_feat = se.pre_lstm(x_ph, train)
+        te_feat = te.pre_lstm(y_st, y_ph, train)
+        se_stream = se.lstm(se_feat, prepare=True)
+        te_stream = te.lstm(te_feat, prepare=True)
+        (se_out, _), (te_out, _) = run_lstm_streams(
+            [se_stream, te_stream], unroll=se.lstm.unroll)
+        mu_x = se._head(se_out)
+        mu_y, logvar_full = te.post_lstm(te_out)
         logvar_prior, c_logvar = jnp.split(logvar_full, 2, axis=-1)
         mu_post, logvar_post = self.conditional_encoder(mu_x, c_logvar)
         mu_post = mu_post + mu_y  # residual posterior mean (reference :1115)

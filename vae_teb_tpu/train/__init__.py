@@ -1,7 +1,7 @@
 """Training: jitted steps, schedules, checkpointing, configuration."""
 
 from .callbacks import (Callback, HistoryCallback, LossCurveCallback,
-                        ReconstructionPlotCallback)
+                        MemoryMonitorCallback, ReconstructionPlotCallback)
 from .checkpoint import Checkpointer, transfer_params
 from .classifier import ClassifierConfig, ClassifierTrainer, train_and_test_folds
 from .config import (CheckpointConfig, DatasetConfig, ModelConfig, RunConfig,
@@ -11,7 +11,7 @@ from .trainer import Trainer, TrainerConfig, TrainState
 
 __all__ = [
     "Callback", "HistoryCallback", "LossCurveCallback",
-    "ReconstructionPlotCallback",
+    "MemoryMonitorCallback", "ReconstructionPlotCallback",
     "Checkpointer", "transfer_params",
     "ClassifierConfig", "ClassifierTrainer", "train_and_test_folds",
     "CheckpointConfig", "DatasetConfig", "ModelConfig", "RunConfig",

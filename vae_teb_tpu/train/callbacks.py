@@ -69,6 +69,46 @@ class HistoryCallback(Callback):
         self._dump(trainer)
 
 
+class MemoryMonitorCallback(Callback):
+    """Per-epoch HBM watcher (reference MemoryMonitorCallback,
+    /root/reference/model/pytorch_lightning_modules.py:567-638).
+
+    On TPU there is no allocator cache to empty_cache() — XLA owns HBM for
+    the life of the client — so the actionable equivalents are (a) record
+    the per-epoch live/peak HBM per device into trainer.history, and (b)
+    warn through log_fn when usage crosses `threshold_fraction` of the
+    device limit (the early signal that the next larger batch/config will
+    RESOURCE_EXHAUSTED). Devices that report no memory_stats (e.g. the CPU
+    backend) are skipped silently.
+    """
+
+    def __init__(self, threshold_fraction: float = 0.9,
+                 log_fn=print):
+        self.threshold_fraction = threshold_fraction
+        self.log_fn = log_fn
+        self.peaks_mb: list = []
+
+    def on_epoch_end(self, trainer, state, epoch: int) -> None:
+        from ..utils.profiling import device_memory_stats
+        stats = device_memory_stats()
+        in_use = [s["mb_in_use"] for s in stats.values() if "mb_in_use" in s]
+        peaks = [s.get("peak_mb_in_use", 0.0) for s in stats.values()
+                 if "mb_in_use" in s]
+        if not in_use:
+            return
+        trainer.history.setdefault("hbm_mb_in_use", []).append(max(in_use))
+        trainer.history.setdefault("hbm_peak_mb", []).append(max(peaks))
+        for dev, s in stats.items():
+            limit = s.get("mb_limit")
+            if limit and s.get("mb_in_use", 0.0) > self.threshold_fraction * limit:
+                self.log_fn(
+                    f"memory monitor: {dev} at "
+                    f"{s['mb_in_use']:.0f}/{limit:.0f} MB "
+                    f"(> {100 * self.threshold_fraction:.0f}% threshold) "
+                    f"at epoch {epoch}")
+        self.peaks_mb.append(max(peaks))
+
+
 class ReconstructionPlotCallback(Callback):
     """Every `every` epochs, run the current model on one held-out batch and
     write a reconstruction figure (reference PlottingCallBack: val-batch

@@ -100,12 +100,23 @@ class Trainer:
 
     # -- state ---------------------------------------------------------------
 
+    def _local_mesh_device(self):
+        """First mesh device ADDRESSABLE by this process: in multihost the
+        mesh spans global devices and mesh.devices.flat[0] belongs to
+        process 0 only — computing under a non-addressable default device
+        raises on every other rank."""
+        me = jax.process_index()
+        for d in self.mesh.devices.flat:
+            if d.process_index == me:
+                return d
+        raise RuntimeError("mesh has no devices addressable by this process")
+
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
         # Initialize ON the mesh's platform: creating params on the default
         # device and re-homing them would mean one host round-trip per
         # parameter tensor — pathological when the default device sits
         # behind a network tunnel and the mesh is elsewhere (e.g. CPU tests).
-        with jax.default_device(self.mesh.devices.flat[0]):
+        with jax.default_device(self._local_mesh_device()):
             rng = jax.random.PRNGKey(self.config.seed)
             init_rng, sample_rng, state_rng = jax.random.split(rng, 3)
             variables = self.model.init(
@@ -124,8 +135,17 @@ class Trainer:
 
     def replicate(self, state: TrainState) -> TrainState:
         """Home a (possibly host-resident, e.g. checkpoint-restored)
-        TrainState onto the mesh, replicated."""
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        TrainState onto the mesh, replicated. In multihost the mesh spans
+        non-addressable devices, so each process contributes its (identical,
+        same-seed/same-checkpoint) local copy of every leaf instead of a
+        plain device_put."""
+        sh = replicated_sharding(self.mesh)
+        if jax.process_count() > 1:
+            host = jax.device_get(state)
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sh, np.asarray(x)), host)
+        return jax.device_put(state, sh)
 
     # -- steps ---------------------------------------------------------------
 
