@@ -84,103 +84,115 @@ def build_step(B, model_dtype):
     return partial(pipeline_step, fhr=fhr, up=up, raw=raw), carry0
 
 
-CATEGORIES = (
-    # (label, name substrings) — first match wins
-    ("lstm scan fwd", ("while", "scan")),
-    ("matmul/dot", ("dot", "gemm", "matmul")),
-    ("convolution", ("conv",)),
-    ("fusion (elementwise/reduce)", ("fusion", "loop_")),
-    ("copy/transpose/reshape", ("copy", "transpose", "reshape", "bitcast")),
-    ("allreduce/collective", ("all-reduce", "collective")),
-    ("dynamic slice/update", ("dynamic",)),
-    ("rng", ("rng",)),
-)
-
-
-def categorize(name: str) -> str:
-    low = name.lower()
-    for label, keys in CATEGORIES:
-        if any(k in low for k in keys):
-            return label
-    return "other"
+def label_of(name: str, args: dict) -> str:
+    """Human label: hlo_category plus the parameter/op the HLO long_name
+    points at (the fusion numbers alone are meaningless)."""
+    import re
+    cat = args.get("hlo_category", "?")
+    long = args.get("long_name", "")
+    hint = ""
+    m = re.search(r"%carry_\w*?__([a-zA-Z0-9_]+?)__\.", long)
+    if not m:
+        m = re.search(r"%carry_\d+___(\w+?)__\.", long)
+    if m:
+        hint = m.group(1)
+    else:
+        shapes = re.findall(r"(?:f32|bf16)\[([\d,]+)\]", long)
+        if shapes:
+            hint = "shape " + "x".join(shapes[:2])
+    return f"{name} [{cat}{': ' + hint if hint else ''}]"
 
 
 def parse_perfetto(trace_dir):
-    """Aggregate device-track slice durations by op name from the perfetto
-    JSON trace."""
+    """Aggregate XLA-Ops-track slice durations by op from the perfetto JSON.
+
+    Only the device pid's "XLA Ops" thread carries per-HLO-op slices; the
+    "Steps"/"XLA Modules" threads are enclosing spans and would double-count.
+    """
     paths = glob.glob(os.path.join(trace_dir, "**", "*.json.gz"),
                       recursive=True)
+    paths = [p for p in paths if "perfetto" in os.path.basename(p)]
     if not paths:
         return None
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", data if isinstance(data, list) else [])
-    # device tracks: pid names containing TPU / device
-    pid_names = {}
+    pid_names, tid_names = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pid_names[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     by_name = defaultdict(float)
     count = defaultdict(int)
+    cats = {}
     for e in events:
         if e.get("ph") != "X":
             continue
-        pname = pid_names.get(e.get("pid"), "")
-        if not any(t in pname.lower() for t in ("tpu", "device", "xla")):
+        if "device" not in pid_names.get(e.get("pid"), "").lower():
             continue
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        by_name[e.get("name", "?")] += dur
-        count[e.get("name", "?")] += 1
-    return by_name, count, path
+        if tid_names.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
+            continue
+        name = e.get("name", "?")
+        by_name[name] += e.get("dur", 0) / 1e3  # us -> ms
+        count[name] += 1
+        if name not in cats and e.get("args"):
+            cats[name] = (e["args"].get("hlo_category", "other"),
+                          label_of(name, e["args"]))
+    return by_name, count, cats, path
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
     B = 32
     if "--batch" in sys.argv:
         B = int(sys.argv[sys.argv.index("--batch") + 1])
     steps = 6
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
-    dtype = None if "--fp32" in sys.argv else jnp.bfloat16
-
-    step, carry = build_step(B, dtype)
-    # warm up / compile outside the trace
-    carry2, loss = step(carry, jnp.int32(0))
-    float(np.asarray(loss))
-
     trace_dir = "/tmp/jaxtrace"
-    os.makedirs(trace_dir, exist_ok=True)
-    jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
-    c = carry
-    for i in range(steps):
-        c, loss = step(c, jnp.int32(i))
-        float(np.asarray(loss))  # force completion inside the trace window
-    jax.profiler.stop_trace()
-    print(f"trace captured to {trace_dir} (steps={steps}, batch={B})")
+
+    if "--parse-only" not in sys.argv:
+        import jax
+        import jax.numpy as jnp
+        dtype = None if "--fp32" in sys.argv else jnp.bfloat16
+        step, carry = build_step(B, dtype)
+        print("built step; compiling (tunnel compile ~2-3 min)...", flush=True)
+        # warm up / compile outside the trace
+        carry2, loss = step(carry, jnp.int32(0))
+        float(np.asarray(loss))
+        print("compiled; tracing...", flush=True)
+        os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
+        c = carry
+        for i in range(steps):
+            c, loss = step(c, jnp.int32(i))
+            float(np.asarray(loss))  # force completion inside the trace window
+        jax.profiler.stop_trace()
+        print(f"trace captured to {trace_dir} (steps={steps}, batch={B})")
 
     parsed = parse_perfetto(trace_dir)
     if parsed is None:
         print("no perfetto json found; raw artifacts:",
               os.listdir(trace_dir))
         return
-    by_name, count, path = parsed
+    by_name, count, cats, path = parsed
     total = sum(by_name.values())
     lines = [f"perfetto source: {path}",
-             f"total device time: {total:.2f} ms over {steps} steps "
-             f"({total / steps:.2f} ms/step)", "",
-             f"{'op':60s} {'calls':>6s} {'ms':>9s} {'ms/step':>8s} {'%':>6s}"]
+             f"total XLA-op device time: {total:.2f} ms over {steps} steps "
+             f"({total / steps:.2f} ms/step; op sum can exceed the wall "
+             "step when DMA/compute overlap)", "",
+             f"{'op':72s} {'calls':>6s} {'ms/step':>8s} {'%':>6s}"]
     for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
-        lines.append(f"{name[:60]:60s} {count[name]:6d} {ms:9.3f} "
+        label = cats.get(name, ("other", name))[1]
+        lines.append(f"{label[:72]:72s} {count[name]:6d} "
                      f"{ms / steps:8.3f} {100 * ms / total:6.2f}")
     lines.append("")
     by_cat = defaultdict(float)
     for name, ms in by_name.items():
-        by_cat[categorize(name)] += ms
-    lines.append(f"{'category':35s} {'ms/step':>9s} {'%':>6s}")
+        by_cat[cats.get(name, ("other", ""))[0]] += ms
+    lines.append(f"{'hlo category':35s} {'ms/step':>9s} {'%':>6s}")
     for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         lines.append(f"{cat:35s} {ms / steps:9.3f} {100 * ms / total:6.2f}")
     report = "\n".join(lines)
