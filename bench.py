@@ -81,8 +81,11 @@ def main():
         {"params": rng, "sample": rng},
         jnp.zeros((1, S, 43)), jnp.zeros((1, S, 44)), jnp.zeros((1, S, 130)),
         train=False)
-    tx = optax.chain(optax.clip_by_global_norm(0.5),
-                     optax.adamw(1e-4, weight_decay=1e-4))
+    # bf16 at-rest Adam moments halve the optimizer's HBM sweep over the
+    # 92M-param decoder heads (trace_table.txt: 3.4 ms/step at fp32)
+    from vae_teb_tpu.train.schedules import make_optimizer
+    moment_dtype = None if "--fp32-moments" in sys.argv else jnp.bfloat16
+    tx = make_optimizer(1e-4, 0.5, 1e-4, moment_dtype=moment_dtype)
 
     def frontend(fhr, up):
         out = sc._analyze(fhr, up, phase_subset=phase_idx,

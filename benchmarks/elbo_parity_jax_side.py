@@ -1,11 +1,14 @@
 """Train this framework's SeqVaeTeb on the same dataset, same schedule.
 
-Usage: python elbo_parity_jax_side.py [steps] [data_dir] [save_path] [precision]
+Usage: python elbo_parity_jax_side.py [steps] [data_dir] [save_path]
+           [precision] [moment_dtype]
 Defaults reproduce the round-1 60-step experiment; save_path pickles the
 final params/batch_stats for the behavioral comparison
 (parity_behavior_jax.py). precision: fp32 (default) or bf16 — bf16 is the
 production policy (the reference trains 16-mixed, graph_model.py:510) and
-the round-3 long-horizon parity evidence runs it.
+the round-3 long-horizon parity evidence runs it. moment_dtype bf16
+additionally stores the Adam moments in bf16 (the full production bench
+configuration).
 """
 import sys, time, json, pickle
 sys.path.insert(0, '/root/repo')
@@ -19,12 +22,13 @@ steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 data_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/parity'
 save_path = sys.argv[3] if len(sys.argv) > 3 else None
 precision = sys.argv[4] if len(sys.argv) > 4 else 'fp32'
+moment_dtype = sys.argv[5] if len(sys.argv) > 5 else 'fp32'
 
 ds = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                          trim_minutes=2.0, cache_size=0)
 mesh = data_parallel_mesh(devices=jax.devices()[:1])
 cfg = TrainerConfig(lr=1e-3, grad_clip_norm=0.5, weight_decay=1e-4,
-                    precision=precision)
+                    precision=precision, moment_dtype=moment_dtype)
 trainer = Trainer(SeqVaeTeb(dtype=cfg.model_dtype()), cfg, mesh=mesh)
 B = 4
 order = np.arange(len(ds))

@@ -97,6 +97,53 @@ def test_lstm_matches_numpy_oracle():
     np.testing.assert_allclose(np.asarray(y), xin, atol=1e-5)
 
 
+def test_lstm_custom_vjp_matches_autodiff():
+    """The hand-written out-of-scan weight-gradient backward of
+    run_lstm_streams (blocks._streams_core) must reproduce plain autodiff
+    through the same scan — values bit-equal, every gradient leaf to fp32
+    reduction-order tolerance. Exercises BOTH streams, all weight/bias
+    leaves, the scanned inputs, AND the final-state cotangents."""
+    from vae_teb_tpu.models.blocks import LSTMStream, run_lstm_streams
+
+    B, S, H, L = 3, 17, 8, 4
+    with jax.default_device(CPU):
+        def mk(seed, n_layers):
+            r = np.random.default_rng(seed)
+            f32 = lambda *s: jnp.asarray(
+                r.standard_normal(s).astype(np.float32))
+            return dict(
+                xp=f32(B, S, 4 * H),
+                w_ih=[f32(H if l else 12, 4 * H) * 0.3
+                      for l in range(n_layers)],
+                w_hh=[f32(H, 4 * H) * 0.3 for _ in range(n_layers)],
+                b=[f32(4 * H) * 0.1 for _ in range(n_layers)],
+                init=(tuple(f32(B, H) * 0.2 for _ in range(n_layers)),
+                      tuple(f32(B, H) * 0.2 for _ in range(n_layers))))
+
+        s1, s2 = mk(1, L), mk(2, 2)  # different layer counts per stream
+
+        def run(leaves, custom):
+            xp1, whh1, wih1, b1, h01, c01 = leaves
+            st1 = LSTMStream(xp1, [s1["w_ih"][0]] + list(wih1), list(whh1),
+                             [s1["b"][0]] + list(b1), (h01, c01))
+            st2 = LSTMStream(s2["xp"], s2["w_ih"], s2["w_hh"], s2["b"],
+                             s2["init"])
+            (y1, (hf1, cf1)), (y2, (hf2, cf2)) = run_lstm_streams(
+                [st1, st2], unroll=4, custom_grad=custom)
+            return (jnp.sum(y1 ** 2) + jnp.sum(jnp.cos(y2))
+                    + 0.7 * jnp.sum(hf1) + 0.3 * jnp.sum(cf1 ** 2)
+                    + 0.1 * jnp.sum(hf2) + 0.2 * jnp.sum(cf2))
+
+        leaves = (s1["xp"], tuple(s1["w_hh"]), tuple(s1["w_ih"][1:]),
+                  tuple(s1["b"][1:]), s1["init"][0], s1["init"][1])
+        v_c, g_c = jax.value_and_grad(lambda lv: run(lv, True))(leaves)
+        v_a, g_a = jax.value_and_grad(lambda lv: run(lv, False))(leaves)
+    assert float(v_c) == float(v_a)  # primal path is the same scan
+    for a, c in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_lstm_forget_bias_init():
     with jax.default_device(CPU):
         m = LSTM(hidden_size=4, num_layers=1)

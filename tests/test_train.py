@@ -437,6 +437,41 @@ def test_memory_monitor_callback(monkeypatch):
     assert len(trainer.history["hbm_mb_in_use"]) == 2
 
 
+def test_adam_moment_dtype():
+    """scale_by_adam_with_dtype: the fp32 path must be BIT-IDENTICAL to
+    optax's stock adamw chain; the bf16-moments path must track it to
+    rounding tolerance (the HBM-sweep optimization must not change the
+    optimizer's math, only the at-rest moment precision)."""
+    import optax
+    from vae_teb_tpu.train.schedules import make_optimizer
+
+    r = np.random.default_rng(0)
+    params = {"a": jnp.asarray(r.standard_normal((64, 32)), jnp.float32),
+              "b": jnp.asarray(r.standard_normal((7,)), jnp.float32)}
+    tx_ref = make_optimizer(1e-3, 0.5, 1e-4)
+    tx_f32 = make_optimizer(1e-3, 0.5, 1e-4, moment_dtype=jnp.float32)
+    tx_b16 = make_optimizer(1e-3, 0.5, 1e-4, moment_dtype=jnp.bfloat16)
+
+    def run(tx, n=5):
+        s, p = tx.init(params), params
+        for i in range(n):
+            g = jax.tree.map(lambda x: jnp.sin(x * (i + 1)), p)
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    p_ref, p_f32, p_b16 = run(tx_ref), run(tx_f32), run(tx_b16)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(p_ref[k]),
+                                      np.asarray(p_f32[k]))
+        np.testing.assert_allclose(np.asarray(p_ref[k]),
+                                   np.asarray(p_b16[k]), atol=5e-5)
+    # moments actually stored in bf16
+    s = tx_b16.init(params)
+    assert s[1][0].mu["a"].dtype == jnp.bfloat16
+    assert s[1][0].nu["a"].dtype == jnp.bfloat16
+
+
 def test_beta_schedules():
     lin = beta_schedule("linear", 0.0, 1.0, anneal_epochs=10)
     assert lin(0) == 0.0 and lin(5) == 0.5 and lin(20) == 1.0

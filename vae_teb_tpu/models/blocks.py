@@ -15,6 +15,7 @@ torch so the forget-gate bias-init convention carries over.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -197,34 +198,168 @@ class LSTMStream:
         self.init = init              # (hs tuple, cs tuple)
 
 
-def _lstm_cell(gates, h, c):
+def _lstm_gate_acts(gates):
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-    g = jnp.tanh(g)
+    return nn.sigmoid(i), nn.sigmoid(f), jnp.tanh(g), nn.sigmoid(o)
+
+
+def _lstm_cell(gates, h, c):
+    i, f, g, o = _lstm_gate_acts(gates)
     c = f * c + i * g
     h = o * jnp.tanh(c)
     return h, c
 
 
-def _stream_step(stream: "LSTMStream", carry, xp0):
-    """Advance one stream's full layer stack by one timestep."""
-    hs, cs = carry
-    new_h, new_c = [], []
-    inp = None
-    for layer in range(len(stream.w_hh)):
-        if layer == 0:
-            gates = xp0 + hs[0] @ stream.w_hh[0]
-        else:
-            gates = (inp @ stream.w_ih[layer] + stream.biases[layer]
-                     + hs[layer] @ stream.w_hh[layer])
-        h, c = _lstm_cell(gates, hs[layer], cs[layer])
-        new_h.append(h)
-        new_c.append(c)
-        inp = h
-    return (tuple(new_h), tuple(new_c)), inp
+def _streams_scan(operands, unroll: int, with_residuals: bool):
+    """The shared fused-streams forward scan. Per stream, per step, per
+    layer: one (B,H)x(H,4H) gate matmul + cell elementwise. With
+    with_residuals, additionally emits per-step (gates, h, c) per layer —
+    exactly what the hand-written backward needs (the gate ACTIVATIONS are
+    recomputed from the pre-activations in the backward; storing the
+    pre-activation is 4H vs 4 activations' 4H, but lets XLA fuse the
+    sigmoid/tanh re-evaluation into the backward elementwise block)."""
+
+    def step(carries, xts):
+        new_carries, outs = [], []
+        for op, (hs, cs), xp0 in zip(operands, carries, xts):
+            n_layers = len(op["w_hh"])
+            new_h, new_c, gates_l = [], [], []
+            inp = None
+            for layer in range(n_layers):
+                if layer == 0:
+                    gates = xp0 + hs[0] @ op["w_hh"][0]
+                else:
+                    gates = (inp @ op["w_ih_rest"][layer - 1]
+                             + op["b_rest"][layer - 1]
+                             + hs[layer] @ op["w_hh"][layer])
+                h, c = _lstm_cell(gates, hs[layer], cs[layer])
+                new_h.append(h)
+                new_c.append(c)
+                gates_l.append(gates)
+                inp = h
+            new_carries.append((tuple(new_h), tuple(new_c)))
+            outs.append((tuple(gates_l), tuple(new_h), tuple(new_c))
+                        if with_residuals else inp)
+        return tuple(new_carries), tuple(outs)
+
+    init = tuple((op["init_h"], op["init_c"]) for op in operands)
+    xs = tuple(op["xs"] for op in operands)
+    return jax.lax.scan(step, init, xs, unroll=unroll)
 
 
-def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16):
+def _grad_matmul(a, b):
+    """einsum('sbh,sbg->hg') with fp32 accumulation, cast back to the
+    primal dtype (bf16 primals would otherwise accumulate 9600 terms in
+    8-bit mantissa; the autodiff baseline accumulates in the scan carry at
+    the same dtype — fp32 here is strictly better)."""
+    out = jnp.einsum("sbh,sbg->hg", a, b,
+                     preferred_element_type=jnp.float32)
+    return out.astype(a.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _streams_core(operands, unroll: int):
+    """Fused multi-stream LSTM with a hand-written backward.
+
+    Why not autodiff: JAX's scan-grad carries the weight-gradient
+    accumulators ((H,4H) per layer per stream) THROUGH the 300-step reverse
+    while-loop, adding two accumulation matmuls per layer to every
+    sequential step (measured 5.1 ms vs 2.1 ms forward on v5e,
+    benchmarks/trace_table.txt). Here the reverse scan computes only the
+    per-step dgates (elementwise + two small matmuls), and every weight
+    gradient becomes ONE large MXU matmul over the whole (S*B) axis after
+    the scan: dW_hh[l] = h_prev[l]^T dgates[l], dW_ih[l] = h[l-1]^T
+    dgates[l] — the classic out-of-recurrence gradient factorization, laid
+    out for the MXU instead of the sequential path.
+    """
+    finals, ys = _streams_scan(operands, unroll, with_residuals=False)
+    return tuple((y, h_f, c_f) for y, (h_f, c_f) in zip(ys, finals))
+
+
+def _streams_core_fwd(operands, unroll: int):
+    finals, seqs = _streams_scan(operands, unroll, with_residuals=True)
+    out = tuple((seqs[k][1][-1],) + finals[k] for k in range(len(operands)))
+    return out, (operands, seqs)
+
+
+def _streams_core_bwd(unroll: int, res, cts):
+    operands, seqs = res
+    n = len(operands)
+
+    xts, carries0 = [], []
+    for k in range(n):
+        op = operands[k]
+        _, _, c_seq = seqs[k]
+        n_layers = len(op["w_hh"])
+        dys, dhf, dcf = cts[k]
+        c_prev = tuple(
+            jnp.concatenate([op["init_c"][layer][None], c_seq[layer][:-1]], 0)
+            for layer in range(n_layers))
+        xts.append((dys, seqs[k][0], c_prev, c_seq))
+        carries0.append((tuple(dhf), tuple(dcf)))
+
+    def body(carry, xt):
+        new_carry, outs = [], []
+        for k in range(n):
+            op = operands[k]
+            n_layers = len(op["w_hh"])
+            dy, gates_t, cprev_t, c_t = xt[k]
+            dh_c, dc_c = carry[k]
+            new_dh, new_dc = [None] * n_layers, [None] * n_layers
+            dgates_l = [None] * n_layers
+            dinp = dy
+            for layer in reversed(range(n_layers)):
+                dh = dh_c[layer] + dinp
+                i, f, g, o = _lstm_gate_acts(gates_t[layer])
+                tc = jnp.tanh(c_t[layer])
+                do = dh * tc
+                dct = dc_c[layer] + dh * o * (1.0 - tc * tc)
+                dgates = jnp.concatenate(
+                    [dct * g * i * (1.0 - i),
+                     dct * cprev_t[layer] * f * (1.0 - f),
+                     dct * i * (1.0 - g * g),
+                     do * o * (1.0 - o)], axis=-1)
+                new_dh[layer] = dgates @ op["w_hh"][layer].T
+                new_dc[layer] = dct * f
+                dgates_l[layer] = dgates
+                dinp = (dgates @ op["w_ih_rest"][layer - 1].T
+                        if layer > 0 else None)
+            new_carry.append((tuple(new_dh), tuple(new_dc)))
+            outs.append(tuple(dgates_l))
+        return tuple(new_carry), tuple(outs)
+
+    finals, dgates_seq = jax.lax.scan(body, tuple(carries0), tuple(xts),
+                                      unroll=unroll, reverse=True)
+
+    d_operands = []
+    for k in range(n):
+        op = operands[k]
+        n_layers = len(op["w_hh"])
+        _, h_seq, _ = seqs[k]
+        dg = dgates_seq[k]
+        h_prev = tuple(
+            jnp.concatenate([op["init_h"][layer][None], h_seq[layer][:-1]], 0)
+            for layer in range(n_layers))
+        d_operands.append({
+            "xs": dg[0],
+            "w_ih_rest": tuple(_grad_matmul(h_seq[layer - 1], dg[layer])
+                               for layer in range(1, n_layers)),
+            "w_hh": tuple(_grad_matmul(h_prev[layer], dg[layer])
+                          for layer in range(n_layers)),
+            "b_rest": tuple(
+                dg[layer].astype(jnp.float32).sum((0, 1))
+                .astype(dg[layer].dtype) for layer in range(1, n_layers)),
+            "init_h": finals[k][0],
+            "init_c": finals[k][1],
+        })
+    return (tuple(d_operands),)
+
+
+_streams_core.defvjp(_streams_core_fwd, _streams_core_bwd)
+
+
+def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16,
+                     custom_grad: bool = True):
     """Run N independent prepared LSTM streams in ONE lax.scan.
 
     TPU rationale: each per-step matmul is (B, H)x(H, 4H) with H=64 — far
@@ -233,26 +368,28 @@ def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16):
     program, no streams). The two encoder LSTMs of SeqVaeTeb therefore cost
     two full scan latencies when run separately; fusing them into one scan
     body halves the sequential iteration count in the forward AND the
-    backward pass.
+    backward pass. With custom_grad (default), the backward pass uses the
+    hand-written out-of-scan weight-gradient factorization of
+    `_streams_core`; custom_grad=False keeps plain autodiff (the oracle the
+    custom VJP is tested against).
 
     Returns [(ys (B,S,H), (h_stack, c_stack)), ...] matching LSTM.__call__.
     """
-    xs = tuple(jnp.swapaxes(st.x_proj, 0, 1) for st in streams)
-    init = tuple(st.init for st in streams)
-
-    def step(carries, xp0s):
-        new_carries, outs = [], []
-        for st, carry, xp0 in zip(streams, carries, xp0s):
-            carry, out = _stream_step(st, carry, xp0)
-            new_carries.append(carry)
-            outs.append(out)
-        return tuple(new_carries), tuple(outs)
-
-    finals, ys = jax.lax.scan(step, init, xs, unroll=unroll)
-    out = []
-    for (h_f, c_f), y in zip(finals, ys):
-        out.append((jnp.swapaxes(y, 0, 1), (jnp.stack(h_f), jnp.stack(c_f))))
-    return out
+    operands = tuple(
+        {"xs": jnp.swapaxes(st.x_proj, 0, 1),
+         "w_ih_rest": tuple(st.w_ih[1:]),
+         "w_hh": tuple(st.w_hh),
+         "b_rest": tuple(st.biases[1:]),
+         "init_h": st.init[0],
+         "init_c": st.init[1]}
+        for st in streams)
+    if custom_grad:
+        outs = _streams_core(operands, unroll)
+    else:
+        finals, ys = _streams_scan(operands, unroll, with_residuals=False)
+        outs = tuple((y, h_f, c_f) for y, (h_f, c_f) in zip(ys, finals))
+    return [(jnp.swapaxes(y, 0, 1), (jnp.stack(h_f), jnp.stack(c_f)))
+            for (y, h_f, c_f) in outs]
 
 
 class LSTM(nn.Module):

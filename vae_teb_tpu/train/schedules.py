@@ -49,15 +49,74 @@ def cosine_warm_restarts(base_lr: float, t0_steps: int,
     return fn
 
 
+def scale_by_adam_with_dtype(b1: float = 0.9, b2: float = 0.999,
+                             eps: float = 1e-8, moment_dtype=None
+                             ) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in `moment_dtype`.
+
+    TPU rationale: the AdamW update of this model's four 4800x4800 head
+    kernels is a pure HBM-bandwidth sweep — 599 MB/step/tensor measured
+    (fp32 param + mu + nu read/write, benchmarks/trace_table.txt). Storing
+    mu AND nu in bf16 removes 184 MB of that per tensor (~30%). optax's
+    adamw only exposes mu_dtype, so this reimplements the (bias-corrected)
+    Adam moment update with casts; the math is optax's exactly, the
+    accumulator arithmetic runs in the grad dtype and is rounded to
+    moment_dtype at rest."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(t):
+        return (jax.tree.map(lambda x: x.astype(moment_dtype), t)
+                if moment_dtype is not None else t)
+
+    def init_fn(params):
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros_like(
+                p, dtype=moment_dtype or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.copy, zeros),
+            nu=zeros)
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda g, m: b1 * m.astype(g.dtype) + (1 - b1) * g,
+                          updates, state.mu)
+        nu = jax.tree.map(
+            lambda g, v: b2 * v.astype(g.dtype) + (1 - b2) * (g * g),
+            updates, state.nu)
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=cast(mu),
+                                           nu=cast(nu))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(lr, grad_clip_norm: float = 0.5,
                    weight_decay: float = 1e-4,
                    b1: float = 0.9, b2: float = 0.999,
-                   eps: float = 1e-8) -> optax.GradientTransformation:
+                   eps: float = 1e-8,
+                   moment_dtype=None) -> optax.GradientTransformation:
     """AdamW chain with global-norm clipping (reference grad-clip 0.5 via
     Lightning, graph_model.py:511; weight decay 1e-4, lightning module
-    :541-546)."""
+    :541-546). moment_dtype=jnp.bfloat16 stores the Adam moments at rest in
+    bf16 (see scale_by_adam_with_dtype); None keeps optax's stock fp32
+    path."""
+    if moment_dtype is None:
+        adam = optax.adamw(learning_rate=lr, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay)
+    else:
+        adam = optax.chain(
+            scale_by_adam_with_dtype(b1=b1, b2=b2, eps=eps,
+                                     moment_dtype=moment_dtype),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr),
+        )
     return optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
-        optax.adamw(learning_rate=lr, b1=b1, b2=b2, eps=eps,
-                    weight_decay=weight_decay),
+        adam,
     )

@@ -62,6 +62,10 @@ class TrainerConfig:
     # average gradients over k micro-batches before one optimizer step
     # (reference accumulate_grad_batches, graph_model.py:511)
     accumulate_grad_batches: int = 1
+    # Adam moment storage: "fp32" (optax stock) or "bf16" (halves the
+    # optimizer's HBM sweep over the 92M-param decoder heads — measured
+    # 3.4 ms/step at fp32, benchmarks/trace_table.txt)
+    moment_dtype: str = "fp32"
 
     def model_dtype(self):
         import jax.numpy as jnp
@@ -70,6 +74,14 @@ class TrainerConfig:
         if self.precision in ("fp32", "float32"):
             return None
         raise ValueError(f"unknown precision: {self.precision!r}")
+
+    def _moment_dtype(self):
+        import jax.numpy as jnp
+        if self.moment_dtype == "bf16":
+            return jnp.bfloat16
+        if self.moment_dtype in ("fp32", "float32"):
+            return None
+        raise ValueError(f"unknown moment_dtype: {self.moment_dtype!r}")
 
 
 class Trainer:
@@ -83,7 +95,8 @@ class Trainer:
         lr = (cosine_warm_restarts(config.lr, config.lr_t0_steps)
               if config.lr_t0_steps > 0 else config.lr)
         self.tx = tx if tx is not None else make_optimizer(
-            lr, config.grad_clip_norm, config.weight_decay)
+            lr, config.grad_clip_norm, config.weight_decay,
+            moment_dtype=config._moment_dtype())
         if config.accumulate_grad_batches > 1:
             # MultiSteps averages grads over k micro-batches and applies
             # the inner chain once per k: the reference's batch-2 x accum
