@@ -144,6 +144,62 @@ def test_lstm_custom_vjp_matches_autodiff():
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_lstm_wavefront_matches_stacked():
+    """The wavefront schedule (blocks._wavefront_core: one block-diagonal
+    matmul per scan step over ALL (stream, layer) units, staircase time
+    offsets, validity-masked warm-up/drain) must reproduce the stacked
+    schedule exactly: same outputs/final states, and its hand-written
+    backward must match autodiff of the stacked scan on every leaf —
+    weights, biases, scanned inputs, initial states, AND final-state
+    cotangents. Exercises heterogeneous layer counts (4 and 2)."""
+    from vae_teb_tpu.models.blocks import LSTMStream, run_lstm_streams
+
+    B, S, H = 3, 17, 8
+    with jax.default_device(CPU):
+        def mk(seed, n_layers):
+            r = np.random.default_rng(seed)
+            f32 = lambda *s: jnp.asarray(
+                r.standard_normal(s).astype(np.float32))
+            return dict(
+                xp=f32(B, S, 4 * H),
+                w_ih=[f32(H if l else 12, 4 * H) * 0.3
+                      for l in range(n_layers)],
+                w_hh=[f32(H, 4 * H) * 0.3 for _ in range(n_layers)],
+                b=[f32(4 * H) * 0.1 for _ in range(n_layers)],
+                init=(tuple(f32(B, H) * 0.2 for _ in range(n_layers)),
+                      tuple(f32(B, H) * 0.2 for _ in range(n_layers))))
+
+        s1, s2 = mk(1, 4), mk(2, 2)
+
+        def run(leaves, schedule):
+            xp1, whh1, wih1, b1, h01, c01, xp2 = leaves
+            st1 = LSTMStream(xp1, [s1["w_ih"][0]] + list(wih1), list(whh1),
+                             [s1["b"][0]] + list(b1), (h01, c01))
+            st2 = LSTMStream(xp2, s2["w_ih"], s2["w_hh"], s2["b"],
+                             s2["init"])
+            (y1, (hf1, cf1)), (y2, (hf2, cf2)) = run_lstm_streams(
+                [st1, st2], unroll=4, custom_grad=False, schedule=schedule)
+            loss = (jnp.sum(y1 ** 2) + jnp.sum(jnp.cos(y2))
+                    + 0.7 * jnp.sum(hf1) + 0.3 * jnp.sum(cf1 ** 2)
+                    + 0.1 * jnp.sum(hf2) + 0.2 * jnp.sum(cf2))
+            return loss, (y1, y2, hf1, cf1, hf2, cf2)
+
+        leaves = (s1["xp"], tuple(s1["w_hh"]), tuple(s1["w_ih"][1:]),
+                  tuple(s1["b"][1:]), s1["init"][0], s1["init"][1],
+                  s2["xp"])
+        (va, out_s), ga = jax.value_and_grad(
+            lambda lv: run(lv, "stacked"), has_aux=True)(leaves)
+        (vw, out_w), gw = jax.value_and_grad(
+            lambda lv: run(lv, "wavefront"), has_aux=True)(leaves)
+    for a, b in zip(out_s, out_w):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(vw), float(va), rtol=1e-6)
+    for a, w in zip(jax.tree.leaves(ga), jax.tree.leaves(gw)):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_lstm_forget_bias_init():
     with jax.default_device(CPU):
         m = LSTM(hidden_size=4, num_layers=1)

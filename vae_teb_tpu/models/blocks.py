@@ -358,8 +358,338 @@ def _streams_core_bwd(unroll: int, res, cts):
 _streams_core.defvjp(_streams_core_fwd, _streams_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Wavefront schedule: ONE matmul per scan step for ALL (stream, layer) units.
+#
+# The stacked schedule above computes layer l at time t only after layer l-1
+# at time t — 14 dependent (B,64)x(64,256) matmuls per step for the two
+# 4-layer encoder streams, each far below one MXU tile, so the scan is pure
+# sequential-launch latency. The classic staircase observation: unit (s, l)
+# at scan step k can compute time t = k - l using h_{l-1}(t) — produced at
+# step k-1 — so ALL units' gate matmuls at step k are independent. Packing
+# their weights block-diagonally turns the whole step into ONE
+# (B, I+U*H) x (I+U*H, 4*U*H) matmul (U = total units, I = intra-stream
+# feed width). The off-diagonal zeros waste FLOPs the idle MXU has anyway;
+# what matters on TPU is one launch instead of fourteen. Costs: D-1 extra
+# steps (D = deepest stream) and a validity mask freezing each unit outside
+# its time range [0, S).
+# ---------------------------------------------------------------------------
+
+
+def _wavefront_meta(operands):
+    """Static packing geometry. Units are ordered stream-major, layer-minor;
+    the intra-stream feed z_inp concatenates, per stream, the h columns of
+    units l=0..d-2 (they feed l=1..d-1), so the forward slice — and the
+    backward scatter — are contiguous per stream."""
+    H = operands[0]["w_hh"][0].shape[0]
+    depths = [len(op["w_hh"]) for op in operands]
+    offsets = list(np.cumsum([0] + depths[:-1]))
+    U = sum(depths)
+    D = max(depths)
+    lvec = np.concatenate([np.arange(d) for d in depths]).astype(np.int32)
+    return H, depths, offsets, U, D, lvec
+
+
+def _wavefront_pack(operands, H, depths, offsets, U):
+    """Pack per-unit weights into the block-diagonal wavefront matrices.
+
+    W_all is (I + U*H, 4*U*H): rows [0, I) are the intra-stream feed
+    (W_ih of layers >= 1, stream-major), rows [I, I+U*H) the recurrent
+    kernels. Columns are gate-major: gate g of unit u lives at
+    [g*U*H + u*H, g*U*H + (u+1)*H) — so split(gates, 4) aligns each gate
+    with the unit-major (B, U*H) state layout. Built with one broadcast
+    multiply per part (einsum against a one-hot unit map), not per-block
+    scatters: the pack runs inside the train-step jit every call.
+    """
+    dtype = operands[0]["xs"].dtype
+    UH = U * H
+    n_feed = U - len(depths)  # units with an intra-stream input
+    I = n_feed * H
+
+    def scatter_units(w_stack, unit_ids, n_rows_units):
+        # w_stack: (n, H, 4H) per-unit kernels; unit_ids: their unit index.
+        # -> (n_rows_units*H, 4*U*H) with kernel j's columns placed at its
+        # unit's gate-major slots (rows stay stacked in the given order).
+        n = w_stack.shape[0]
+        w4 = w_stack.reshape(n, H, 4, H)
+        onehot = jnp.asarray(np.eye(U, dtype=np.float32)[unit_ids], dtype)
+        out = jnp.einsum("nhgj,nu->hgunj", w4, onehot)
+        # (H, 4, U, n, H): row blocks interleave as (n, H) after moving n out
+        out = jnp.moveaxis(out, 3, 0).reshape(n, H, 4 * UH)
+        return out.reshape(n * H, 4 * UH)
+
+    feed_ws, feed_units = [], []
+    for s, op in enumerate(operands):
+        for l in range(1, depths[s]):
+            feed_ws.append(op["w_ih_rest"][l - 1])
+            feed_units.append(offsets[s] + l)
+    rec_ws = [w for op in operands for w in op["w_hh"]]
+
+    parts = []
+    if feed_ws:
+        parts.append(scatter_units(jnp.stack(feed_ws), feed_units, n_feed))
+    parts.append(scatter_units(jnp.stack(rec_ws), list(range(U)), U))
+    W_all = jnp.concatenate(parts, axis=0)  # (I + UH, 4UH)
+
+    # biases of layers >= 1, gate-major (layer-0 bias rides inside xs)
+    b4 = jnp.zeros((U, 4, H), dtype)
+    for s, op in enumerate(operands):
+        for l in range(1, depths[s]):
+            b4 = b4.at[offsets[s] + l].set(
+                op["b_rest"][l - 1].reshape(4, H))
+    b_packed = jnp.swapaxes(b4, 0, 1).reshape(4 * UH)
+
+    return W_all, b_packed, I
+
+
+def _wavefront_xs(operands, H, depths, offsets, U, K, S):
+    """(K, B, 4*U*H) additive gate input: each stream's pre-projected xs at
+    its layer-0 unit's gate-major columns for k in [0, S), zeros elsewhere
+    (built by unit-axis concatenation — no big scatters)."""
+    dtype = operands[0]["xs"].dtype
+    B = operands[0]["xs"].shape[1]
+    cols = []
+    zero = None
+    for u in range(U):
+        hit = [s for s in range(len(operands)) if offsets[s] == u]
+        if hit:
+            xp = operands[hit[0]]["xs"].reshape(S, B, 4, 1, H)
+            if K > S:
+                xp = jnp.concatenate(
+                    [xp, jnp.zeros((K - S, B, 4, 1, H), dtype)], axis=0)
+            cols.append(xp)
+        else:
+            if zero is None:
+                zero = jnp.zeros((K, B, 4, 1, H), dtype)
+            cols.append(zero)
+    return jnp.concatenate(cols, axis=3).reshape(K, B, 4 * U * H)
+
+
+def _wavefront_feed(h_cat, depths, offsets, H):
+    """z_inp: per stream, the h columns of units 0..d-2 (contiguous)."""
+    return jnp.concatenate(
+        [h_cat[:, offsets[s] * H:(offsets[s] + depths[s] - 1) * H]
+         for s in range(len(depths))], axis=-1)
+
+
+def _wavefront_feed_back(dinp, dh, depths, offsets, H):
+    """Scatter the z_inp cotangent back onto units 0..d-2 of each stream:
+    pad each stream's block with one zero unit at the top layer, concat —
+    the exact adjoint of _wavefront_feed, as two pads and one concat."""
+    B = dh.shape[0]
+    pieces, p = [], 0
+    for s in range(len(depths)):
+        w = (depths[s] - 1) * H
+        blk = dinp[:, p:p + w]
+        pieces.append(jnp.concatenate(
+            [blk, jnp.zeros((B, H), dh.dtype)], axis=-1))
+        p += w
+    return dh + jnp.concatenate(pieces, axis=-1)
+
+
+def _wavefront_scan(operands, unroll, with_residuals):
+    """Forward wavefront. Returns ((h_fin, c_fin) packed, per-step outputs):
+    h_seq (K, B, U*H) masked states and, with_residuals, also (gates_seq,
+    c_seq)."""
+    H, depths, offsets, U, D, lvec = _wavefront_meta(operands)
+    S, B = operands[0]["xs"].shape[:2]
+    K = S + D - 1
+    dtype = operands[0]["xs"].dtype
+    UH = U * H
+
+    W_all, b_packed, I = _wavefront_pack(operands, H, depths, offsets, U)
+    xs_wave = _wavefront_xs(operands, H, depths, offsets, U, K, S)
+    lvec_u = jnp.asarray(lvec)  # (U,)
+
+    h0 = jnp.concatenate(
+        [h for op in operands for h in op["init_h"]], axis=-1)
+    c0 = jnp.concatenate(
+        [c for op in operands for c in op["init_c"]], axis=-1)
+
+    def step(carry, xk):
+        h_cat, c_cat = carry
+        xs_k, k = xk
+        z = jnp.concatenate(
+            [_wavefront_feed(h_cat, depths, offsets, H), h_cat], axis=-1)
+        gates = z @ W_all + xs_k + b_packed
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+        c_new = f * c_cat + i * jnp.tanh(g)
+        h_new = jnp.tanh(c_new) * o
+        valid = ((k >= lvec_u) & (k < S + lvec_u))  # (U,)
+        m = jnp.repeat(valid, H)[None, :]
+        h_out = jnp.where(m, h_new.astype(dtype), h_cat)
+        c_out = jnp.where(m, c_new.astype(dtype), c_cat)
+        outs = (gates, h_out, c_out) if with_residuals else h_out
+        return (h_out, c_out), outs
+
+    ks = jnp.arange(K, dtype=jnp.int32)
+    (h_fin, c_fin), seq = jax.lax.scan(step, (h0, c0), (xs_wave, ks),
+                                       unroll=unroll)
+    return (h_fin, c_fin), seq
+
+
+def _wavefront_unpack(h_fin, c_fin, h_seq, operands):
+    """Slice the packed wavefront outputs back to the _streams_core output
+    contract: per stream (ys (S,B,H), h_f tuple, c_f tuple)."""
+    H, depths, offsets, U, D, _ = _wavefront_meta(operands)
+    S = operands[0]["xs"].shape[0]
+    outs = []
+    for s, op in enumerate(operands):
+        d, off = depths[s], offsets[s]
+        top = off + d - 1
+        ys = h_seq[d - 1:d - 1 + S, :, top * H:(top + 1) * H]
+        h_f = tuple(h_fin[:, (off + l) * H:(off + l + 1) * H]
+                    for l in range(d))
+        c_f = tuple(c_fin[:, (off + l) * H:(off + l + 1) * H]
+                    for l in range(d))
+        outs.append((ys, h_f, c_f))
+    return tuple(outs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _wavefront_core(operands, unroll: int):
+    """Wavefront-scheduled fused LSTM with a hand-written backward.
+
+    The backward is the reverse wavefront: one (B, 4UH) x (4UH, I+UH)
+    matmul per reverse step (the adjoint of the packed forward matmul),
+    validity-masked dgates, and — as in _streams_core — every weight
+    gradient computed OUTSIDE the scan as one MXU matmul over the whole
+    (K*B) axis. Masked steps contribute zero dgates, so the packed dW picks
+    up no garbage from the staircase's warm-up/drain steps.
+    """
+    (h_fin, c_fin), h_seq = _wavefront_scan(operands, unroll,
+                                            with_residuals=False)
+    return _wavefront_unpack(h_fin, c_fin, h_seq, operands)
+
+
+def _wavefront_core_fwd(operands, unroll: int):
+    (h_fin, c_fin), seq = _wavefront_scan(operands, unroll,
+                                          with_residuals=True)
+    gates_seq, h_seq, c_seq = seq
+    out = _wavefront_unpack(h_fin, c_fin, h_seq, operands)
+    return out, (operands, gates_seq, h_seq, c_seq)
+
+
+def _wavefront_core_bwd(unroll: int, res, cts):
+    operands, gates_seq, h_seq, c_seq = res
+    H, depths, offsets, U, D, lvec = _wavefront_meta(operands)
+    S, B = operands[0]["xs"].shape[:2]
+    K = S + D - 1
+    dtype = operands[0]["xs"].dtype
+    UH = U * H
+
+    W_all, _, I = _wavefront_pack(operands, H, depths, offsets, U)
+    lvec_u = jnp.asarray(lvec)
+
+    # inject dys at each stream's top-unit columns, staircase-aligned
+    cols = []
+    for u in range(U):
+        hit = [s for s in range(len(operands))
+               if offsets[s] + depths[s] - 1 == u]
+        if hit:
+            s = hit[0]
+            dys = cts[s][0].reshape(S, B, 1, H).astype(dtype)
+            pad_lo = depths[s] - 1
+            pad_hi = K - S - pad_lo
+            dys = jnp.pad(dys, ((pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+            cols.append(dys)
+        else:
+            cols.append(jnp.zeros((K, B, 1, H), dtype))
+    dY = jnp.concatenate(cols, axis=2).reshape(K, B, UH)
+
+    dh0 = jnp.concatenate(
+        [d.astype(dtype) for k in range(len(operands)) for d in cts[k][1]],
+        axis=-1)
+    dc0 = jnp.concatenate(
+        [d.astype(dtype) for k in range(len(operands)) for d in cts[k][2]],
+        axis=-1)
+
+    h0 = jnp.concatenate(
+        [h for op in operands for h in op["init_h"]], axis=-1)
+    c0 = jnp.concatenate(
+        [c for op in operands for c in op["init_c"]], axis=-1)
+    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+
+    def body(carry, xk):
+        dh_c, dc_c = carry
+        gates, c_k, c_prev, dy_k, k = xk
+        dh_tot = dh_c + dy_k
+        i, f, g, o = _lstm_gate_acts(gates)
+        tc = jnp.tanh(c_k)
+        do = dh_tot * tc
+        dct = dc_c + dh_tot * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate(
+            [dct * g * i * (1.0 - i),
+             dct * c_prev * f * (1.0 - f),
+             dct * i * (1.0 - g * g),
+             do * o * (1.0 - o)], axis=-1)
+        valid = ((k >= lvec_u) & (k < S + lvec_u))
+        m4 = jnp.tile(jnp.repeat(valid, H), 4)[None, :]
+        dgates = jnp.where(m4, dgates, jnp.zeros_like(dgates))
+        dz = dgates @ W_all.T
+        dinp, dh_rec = dz[:, :I], dz[:, I:]
+        m = jnp.repeat(valid, H)[None, :]
+        dh_new = jnp.where(m, dh_rec, dh_tot)
+        dh_new = _wavefront_feed_back(dinp, dh_new, depths, offsets, H)
+        dc_new = jnp.where(m, dct * f, dc_c)
+        return (dh_new, dc_new), dgates
+
+    ks = jnp.arange(K, dtype=jnp.int32)
+    (dh_fin, dc_fin), dgates_seq = jax.lax.scan(
+        body, (dh0, dc0), (gates_seq, c_seq, c_prev_seq, dY, ks),
+        unroll=unroll, reverse=True)
+
+    # weight gradients: one matmul over the whole (K*B) axis
+    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+    inp_seq = jnp.concatenate(
+        [h_prev_seq[:, :, offsets[s] * H:(offsets[s] + depths[s] - 1) * H]
+         for s in range(len(depths))], axis=-1)
+    z_seq = jnp.concatenate([inp_seq, h_prev_seq], axis=-1)
+    dW_all = _grad_matmul(z_seq, dgates_seq)  # (I+UH, 4UH)
+
+    dg4 = dgates_seq.reshape(K, B, 4, U, H)
+    db_units = dg4.astype(jnp.float32).sum((0, 1))  # (4, U, H)
+
+    def unit_block(mat, row0, u):
+        # rows [row0, row0+H) of a packed (rows, 4UH) grad, unit-u columns
+        blk = mat[row0:row0 + H].reshape(H, 4, U, H)
+        return blk[:, :, u, :].reshape(H, 4 * H)
+
+    d_operands = []
+    feed_row = 0
+    for s, op in enumerate(operands):
+        d, off = depths[s], offsets[s]
+        u0 = off
+        dxs = dg4[:S, :, :, u0, :].reshape(S, B, 4 * H)
+        dw_ih = []
+        for l in range(1, d):
+            dw_ih.append(unit_block(dW_all, feed_row, off + l))
+            feed_row += H
+        dw_hh = tuple(unit_block(dW_all, I + (off + l) * H, off + l)
+                      for l in range(d))
+        db = tuple(db_units[:, off + l, :].reshape(4 * H).astype(dtype)
+                   for l in range(1, d))
+        d_operands.append({
+            "xs": dxs,
+            "w_ih_rest": tuple(dw_ih),
+            "w_hh": dw_hh,
+            "b_rest": db,
+            "init_h": tuple(
+                dh_fin[:, (off + l) * H:(off + l + 1) * H]
+                for l in range(d)),
+            "init_c": tuple(
+                dc_fin[:, (off + l) * H:(off + l + 1) * H]
+                for l in range(d)),
+        })
+    return (tuple(d_operands),)
+
+
+_wavefront_core.defvjp(_wavefront_core_fwd, _wavefront_core_bwd)
+
+
 def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16,
-                     custom_grad: bool = True):
+                     custom_grad: bool = True, schedule: str = "stacked"):
     """Run N independent prepared LSTM streams in ONE lax.scan.
 
     TPU rationale: each per-step matmul is (B, H)x(H, 4H) with H=64 — far
@@ -383,7 +713,13 @@ def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16,
          "init_h": st.init[0],
          "init_c": st.init[1]}
         for st in streams)
-    if custom_grad:
+    if schedule == "wavefront":
+        hs = {st.w_hh[0].shape[0] for st in streams}
+        if len(hs) != 1:
+            raise ValueError(
+                f"wavefront schedule needs one shared hidden size, got {hs}")
+        outs = _wavefront_core(operands, unroll)
+    elif custom_grad:
         outs = _streams_core(operands, unroll)
     else:
         finals, ys = _streams_scan(operands, unroll, with_residuals=False)
@@ -415,6 +751,9 @@ class LSTM(nn.Module):
     # multiplies the compiled graph size (v5e sweep on TargetEncoder
     # fwd+bwd, batch 32: 4 -> 3.96 ms, 8 -> 4.15, 16 -> 3.62, 30 -> 4.15)
     unroll: int = 16
+    # "stacked" (layer-sequential body) or "wavefront" (staircase: one
+    # block-diagonal matmul per step for all layers — see _wavefront_core)
+    schedule: str = "stacked"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -475,4 +814,5 @@ class LSTM(nn.Module):
         stream = LSTMStream(x_proj, w_ih, w_hh, biases, init)
         if prepare:
             return stream
-        return run_lstm_streams([stream], unroll=self.unroll)[0]
+        return run_lstm_streams([stream], unroll=self.unroll,
+                                schedule=self.schedule)[0]

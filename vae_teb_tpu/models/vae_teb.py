@@ -34,6 +34,13 @@ from .blocks import (CausalConvBlock, LSTM, ReflectConvBlock, ResidualMLP,
 Dtype = Any
 
 
+def _schedule_unroll(schedule: str) -> int:
+    """Measured-optimal scan unroll per LSTM schedule (v5e, batch 32, S=300,
+    two 4-layer streams, fwd+bwd, benchmarks/profile_wavefront.py): wavefront
+    4.06 ms @ 16 -> 3.55 @ 8; stacked keeps its own sweep optimum of 16."""
+    return 8 if schedule == "wavefront" else 16
+
+
 def _f32(x: jnp.ndarray) -> jnp.ndarray:
     """Loss math always runs in float32: under a bf16 compute policy the
     activations arrive half-precision, but exp(logvar) / squared errors
@@ -121,6 +128,7 @@ class TargetEncoder(nn.Module):
     lstm_num_layers: int = 4
     n_scattering: int = 43
     n_phase: int = 44
+    lstm_schedule: str = "wavefront"
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -142,7 +150,9 @@ class TargetEncoder(nn.Module):
         self.cross_modal_fusion = ResidualMLP(
             geometric_schedule(32, 20, 5), final_activation=False,
             activation=nn.relu, dtype=dt)
-        self.lstm = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt)
+        self.lstm = LSTM(self.lstm_hidden_dim, self.lstm_num_layers,
+                         unroll=_schedule_unroll(self.lstm_schedule),
+                         schedule=self.lstm_schedule, dtype=dt)
         self.lstm_norm = nn.LayerNorm(dtype=dt)
         self.pre_output = ResidualMLP(
             geometric_schedule(self.lstm_hidden_dim, 32, 5),
@@ -208,6 +218,7 @@ class SourceEncoder(nn.Module):
     latent_dim: int = 32
     lstm_hidden_dim: int = 64
     lstm_num_layers: int = 4
+    lstm_schedule: str = "wavefront"
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -222,7 +233,9 @@ class SourceEncoder(nn.Module):
         self.conv_2 = CausalConvBlock(SOURCE_CONV_WIDTH,
                                       SOURCE_CONV_KERNELS[2], dtype=dt)
         self.fused_norm = nn.LayerNorm(dtype=dt)
-        self.lstm = LSTM(self.lstm_hidden_dim, self.lstm_num_layers, dtype=dt)
+        self.lstm = LSTM(self.lstm_hidden_dim, self.lstm_num_layers,
+                         unroll=_schedule_unroll(self.lstm_schedule),
+                         schedule=self.lstm_schedule, dtype=dt)
         self.lstm_norm = nn.LayerNorm(dtype=dt)
         self.pre_output = ResidualMLP(
             geometric_schedule(self.lstm_hidden_dim, 32, 4),
@@ -370,16 +383,21 @@ class SeqVaeTeb(nn.Module):
     n_phase: int = 44
     decimation_factor: int = 16
     warmup_period: int = 30
+    # "wavefront" runs both encoder LSTM stacks as ONE block-diagonal matmul
+    # per scan step (blocks._wavefront_core): fwd+bwd 6.06 -> 3.55 ms on v5e
+    # at the production shape. "stacked" is the layer-sequential fallback.
+    lstm_schedule: str = "wavefront"
     dtype: Optional[Dtype] = None
 
     def setup(self):
         self.source_encoder = SourceEncoder(
             input_channels=self.input_channels,
-            latent_dim=self.latent_dim_source, dtype=self.dtype)
+            latent_dim=self.latent_dim_source,
+            lstm_schedule=self.lstm_schedule, dtype=self.dtype)
         self.target_encoder = TargetEncoder(
             latent_dim=self.latent_dim_target,
             n_scattering=self.n_scattering, n_phase=self.n_phase,
-            dtype=self.dtype)
+            lstm_schedule=self.lstm_schedule, dtype=self.dtype)
         self.conditional_encoder = ConditionalEncoder(
             dim_hx=self.latent_dim_source, dim_hy=self.latent_dim_target,
             dim_z=self.latent_dim_z, dtype=self.dtype)
@@ -403,7 +421,8 @@ class SeqVaeTeb(nn.Module):
         se_stream = se.lstm(se_feat, prepare=True)
         te_stream = te.lstm(te_feat, prepare=True)
         (se_out, _), (te_out, _) = run_lstm_streams(
-            [se_stream, te_stream], unroll=se.lstm.unroll)
+            [se_stream, te_stream], unroll=se.lstm.unroll,
+            schedule=se.lstm.schedule)
         mu_x = se._head(se_out)
         mu_y, logvar_full = te.post_lstm(te_out)
         logvar_prior, c_logvar = jnp.split(logvar_full, 2, axis=-1)
