@@ -85,7 +85,10 @@ def main():
     # 92M-param decoder heads (trace_table.txt: 3.4 ms/step at fp32)
     from vae_teb_tpu.train.schedules import make_optimizer
     moment_dtype = None if "--fp32-moments" in sys.argv else jnp.bfloat16
-    tx = make_optimizer(1e-4, 0.5, 1e-4, moment_dtype=moment_dtype)
+    # flat_param_fusion (one packed sweep for the ~300 small tensors) is
+    # the production default; --no-fuse-params A/Bs it away
+    tx = make_optimizer(1e-4, 0.5, 1e-4, moment_dtype=moment_dtype,
+                        fuse_small_params="--no-fuse-params" not in sys.argv)
 
     def frontend(fhr, up):
         out = sc._analyze(fhr, up, phase_subset=phase_idx,

@@ -466,10 +466,54 @@ def test_adam_moment_dtype():
                                       np.asarray(p_f32[k]))
         np.testing.assert_allclose(np.asarray(p_ref[k]),
                                    np.asarray(p_b16[k]), atol=5e-5)
-    # moments actually stored in bf16
-    s = tx_b16.init(params)
+    # moments actually stored in bf16 (unfused chain for introspection)
+    s = make_optimizer(1e-3, 0.5, 1e-4, moment_dtype=jnp.bfloat16,
+                       fuse_small_params=False).init(params)
     assert s[1][0].mu["a"].dtype == jnp.bfloat16
     assert s[1][0].nu["a"].dtype == jnp.bfloat16
+
+
+def test_flat_param_fusion_matches_unfused():
+    """flat_param_fusion packs every sub-threshold leaf into one flat fp32
+    vector for the whole clip+AdamW chain. The packing must be semantics-
+    preserving: updates equal the unfused chain's on every leaf (the clip
+    norm is a global sum of squares, Adam/decay/LR are elementwise), big
+    leaves keep their own state, and update dtypes survive the round trip."""
+    import optax
+    from vae_teb_tpu.train.schedules import flat_param_fusion, make_optimizer
+
+    r = np.random.default_rng(1)
+    params = {
+        "head": jnp.asarray(r.standard_normal((256, 48)), jnp.float32),
+        "deep": {"w": jnp.asarray(r.standard_normal((16, 16)), jnp.float32),
+                 "b": jnp.asarray(r.standard_normal((5,)), jnp.float32)},
+    }
+    kw = dict(grad_clip_norm=0.5, weight_decay=1e-4,
+              moment_dtype=jnp.bfloat16)
+    tx_ref = make_optimizer(1e-3, fuse_small_params=False, **kw)
+    # threshold between the big head (12288) and the small leaves
+    tx_fused = flat_param_fusion(
+        make_optimizer(1e-3, fuse_small_params=False, **kw), threshold=1000)
+
+    def run(tx, n=5):
+        s, p = tx.init(params), params
+        for i in range(n):
+            g = jax.tree.map(lambda x: jnp.sin(x * (i + 1)), p)
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    p_ref, _ = run(tx_ref)
+    p_fused, s_fused = run(tx_fused)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # state really is packed: one big leaf + one flat vector of the rest
+    adam_state = s_fused[1][0]
+    assert len(adam_state.mu["big"]) == 1
+    assert adam_state.mu["flat"].shape == (16 * 16 + 5,)
+    assert adam_state.mu["flat"].dtype == jnp.bfloat16
 
 
 def test_beta_schedules():

@@ -96,16 +96,83 @@ def scale_by_adam_with_dtype(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def flat_param_fusion(inner: optax.GradientTransformation,
+                      threshold: int = 1 << 20
+                      ) -> optax.GradientTransformation:
+    """Run `inner` over a packed tree: every leaf with fewer than
+    `threshold` elements is raveled into ONE flat fp32 vector; leaves at or
+    above it stay individual.
+
+    TPU rationale: this model has ~300 small parameter tensors (the deep
+    narrow conv/MLP/LSTM stack) next to four 4800x4800 decoder heads. XLA
+    compiles the optimizer leaf-by-leaf, so AdamW + global-norm clipping
+    emit hundreds of sub-0.1 ms fusions and per-leaf reductions — pure
+    per-op launch latency, part of the measured ~18 ms small-op tail
+    (benchmarks/trace_table.txt). Packing the small leaves makes the whole
+    small-parameter optimizer ONE contiguous sweep and the clip norm a
+    handful of reductions, while the big heads keep their own (bandwidth-
+    dominated, already bf16-moment) updates.
+
+    Exactness: Adam/weight-decay/LR are elementwise and the clip norm is a
+    global sum of squares, so packing is semantics-preserving; small-leaf
+    casts to fp32 are exact for bf16/fp32 inputs (the only dtypes in use).
+    Update dtypes are restored per leaf on unpack. The partition is static
+    given the tree structure (recomputed at trace time, zero runtime
+    cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    def _split(tree):
+        leaves, treedef = jax.tree.flatten(tree)
+        big = tuple(i for i, l in enumerate(leaves) if l.size >= threshold)
+        small = tuple(i for i, l in enumerate(leaves) if l.size < threshold)
+        return leaves, treedef, big, small
+
+    def _pack(tree):
+        leaves, _, big, small = _split(tree)
+        packed = {"big": tuple(leaves[i] for i in big)}
+        if small:
+            packed["flat"] = jnp.concatenate(
+                [leaves[i].astype(jnp.float32).ravel() for i in small])
+        return packed
+
+    def _unpack(packed, like):
+        leaves, treedef, big, small = _split(like)
+        out = [None] * len(leaves)
+        for j, i in enumerate(big):
+            out[i] = packed["big"][j]
+        off = 0
+        for i in small:
+            n = leaves[i].size
+            out[i] = (packed["flat"][off:off + n]
+                      .reshape(leaves[i].shape).astype(leaves[i].dtype))
+            off += n
+        return jax.tree.unflatten(treedef, out)
+
+    def init_fn(params):
+        return inner.init(_pack(params))
+
+    def update_fn(updates, state, params=None):
+        packed_p = _pack(params) if params is not None else None
+        upd, state = inner.update(_pack(updates), state, packed_p)
+        return _unpack(upd, like=updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(lr, grad_clip_norm: float = 0.5,
                    weight_decay: float = 1e-4,
                    b1: float = 0.9, b2: float = 0.999,
                    eps: float = 1e-8,
-                   moment_dtype=None) -> optax.GradientTransformation:
+                   moment_dtype=None,
+                   fuse_small_params: bool = True
+                   ) -> optax.GradientTransformation:
     """AdamW chain with global-norm clipping (reference grad-clip 0.5 via
     Lightning, graph_model.py:511; weight decay 1e-4, lightning module
     :541-546). moment_dtype=jnp.bfloat16 stores the Adam moments at rest in
     bf16 (see scale_by_adam_with_dtype); None keeps optax's stock fp32
-    path."""
+    path. fuse_small_params packs all sub-1M-element leaves into one flat
+    vector for the whole chain (see flat_param_fusion)."""
     if moment_dtype is None:
         adam = optax.adamw(learning_rate=lr, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay)
@@ -116,7 +183,8 @@ def make_optimizer(lr, grad_clip_norm: float = 0.5,
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_learning_rate(lr),
         )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
         adam,
     )
+    return flat_param_fusion(tx) if fuse_small_params else tx
