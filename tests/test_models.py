@@ -144,14 +144,16 @@ def test_lstm_custom_vjp_matches_autodiff():
                                    rtol=2e-5, atol=2e-6)
 
 
-def test_lstm_wavefront_matches_stacked():
-    """The wavefront schedule (blocks._wavefront_core: one block-diagonal
+@pytest.mark.parametrize("wf_schedule", ["wavefront", "wavefront_pallas"])
+def test_lstm_wavefront_matches_stacked(wf_schedule):
+    """The wavefront schedule (blocks._wavefront_core: one block-bidiagonal
     matmul per scan step over ALL (stream, layer) units, staircase time
     offsets, validity-masked warm-up/drain) must reproduce the stacked
     schedule exactly: same outputs/final states, and its hand-written
     backward must match autodiff of the stacked scan on every leaf —
     weights, biases, scanned inputs, initial states, AND final-state
-    cotangents. Exercises heterogeneous layer counts (4 and 2)."""
+    cotangents. Exercises heterogeneous layer counts (4 and 2), in both
+    the lax.scan lowering and the pallas kernel (interpret mode on CPU)."""
     from vae_teb_tpu.models.blocks import LSTMStream, run_lstm_streams
 
     B, S, H = 3, 17, 8
@@ -190,7 +192,7 @@ def test_lstm_wavefront_matches_stacked():
         (va, out_s), ga = jax.value_and_grad(
             lambda lv: run(lv, "stacked"), has_aux=True)(leaves)
         (vw, out_w), gw = jax.value_and_grad(
-            lambda lv: run(lv, "wavefront"), has_aux=True)(leaves)
+            lambda lv: run(lv, wf_schedule), has_aux=True)(leaves)
     for a, b in zip(out_s, out_w):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)

@@ -366,13 +366,19 @@ _streams_core.defvjp(_streams_core_fwd, _streams_core_bwd)
 # 4-layer encoder streams, each far below one MXU tile, so the scan is pure
 # sequential-launch latency. The classic staircase observation: unit (s, l)
 # at scan step k can compute time t = k - l using h_{l-1}(t) — produced at
-# step k-1 — so ALL units' gate matmuls at step k are independent. Packing
-# their weights block-diagonally turns the whole step into ONE
-# (B, I+U*H) x (I+U*H, 4*U*H) matmul (U = total units, I = intra-stream
-# feed width). The off-diagonal zeros waste FLOPs the idle MXU has anyway;
-# what matters on TPU is one launch instead of fourteen. Costs: D-1 extra
-# steps (D = deepest stream) and a validity mask freezing each unit outside
-# its time range [0, S).
+# step k-1 — so ALL units' gate matmuls at step k are independent. Both the
+# recurrent input h_u and the inter-layer feed h_{u-1} live in the SAME
+# packed carry h_cat (B, U*H), so the whole step is ONE
+# (B, U*H) x (U*H, 4*U*H) matmul against a block-BIdiagonal weight matrix
+# W_eff whose row block v carries W_hh[v] at unit-v columns and W_ih[v+1]
+# at unit-(v+1) columns (U = total units). The off-(bi)diagonal zeros waste
+# FLOPs the idle MXU has anyway; what matters on TPU is one launch instead
+# of fourteen, and no per-step slicing/concat at sub-lane (H=64) offsets.
+# Costs: D-1 extra steps (D = deepest stream) and a validity mask freezing
+# each unit outside its time range [0, S). The backward exploits the same
+# packing: masked dgates make dgates @ W_eff^T deliver BOTH the recurrent
+# and the feed cotangents in one matmul (an invalid unit's dgates are zero,
+# so its row contributes nothing and its carried dh passes through).
 # ---------------------------------------------------------------------------
 
 
@@ -391,45 +397,44 @@ def _wavefront_meta(operands):
 
 
 def _wavefront_pack(operands, H, depths, offsets, U):
-    """Pack per-unit weights into the block-diagonal wavefront matrices.
+    """Pack per-unit weights into the block-bidiagonal wavefront matrix.
 
-    W_all is (I + U*H, 4*U*H): rows [0, I) are the intra-stream feed
-    (W_ih of layers >= 1, stream-major), rows [I, I+U*H) the recurrent
-    kernels. Columns are gate-major: gate g of unit u lives at
-    [g*U*H + u*H, g*U*H + (u+1)*H) — so split(gates, 4) aligns each gate
-    with the unit-major (B, U*H) state layout. Built with one broadcast
-    multiply per part (einsum against a one-hot unit map), not per-block
-    scatters: the pack runs inside the train-step jit every call.
+    W_eff is (U*H, 4*U*H): row block v (the h columns of unit v in the
+    packed carry) holds W_hh[v] at unit-v's gate columns and, when unit
+    v+1 is layer >= 1 of the same stream, W_ih[v+1] at unit-(v+1)'s gate
+    columns — so gates = h_cat @ W_eff computes every unit's recurrent AND
+    inter-layer-feed contribution in one matmul. Columns are gate-major:
+    gate g of unit u lives at [g*U*H + u*H, g*U*H + (u+1)*H), so
+    split(gates, 4) aligns each gate with the unit-major (B, U*H) state
+    layout. Built with one einsum per part against one-hot row/column unit
+    maps, not per-block scatters: the pack runs inside the train-step jit
+    every call.
     """
     dtype = operands[0]["xs"].dtype
     UH = U * H
-    n_feed = U - len(depths)  # units with an intra-stream input
-    I = n_feed * H
 
-    def scatter_units(w_stack, unit_ids, n_rows_units):
-        # w_stack: (n, H, 4H) per-unit kernels; unit_ids: their unit index.
-        # -> (n_rows_units*H, 4*U*H) with kernel j's columns placed at its
-        # unit's gate-major slots (rows stay stacked in the given order).
+    def scatter(w_stack, row_units, col_units):
+        # w_stack: (n, H, 4H) kernels; kernel j's rows land at row block
+        # row_units[j], its columns at unit col_units[j]'s gate-major slots
         n = w_stack.shape[0]
         w4 = w_stack.reshape(n, H, 4, H)
-        onehot = jnp.asarray(np.eye(U, dtype=np.float32)[unit_ids], dtype)
-        out = jnp.einsum("nhgj,nu->hgunj", w4, onehot)
-        # (H, 4, U, n, H): row blocks interleave as (n, H) after moving n out
-        out = jnp.moveaxis(out, 3, 0).reshape(n, H, 4 * UH)
-        return out.reshape(n * H, 4 * UH)
+        eye = np.eye(U, dtype=np.float32)
+        rhot = jnp.asarray(eye[list(row_units)], dtype)
+        chot = jnp.asarray(eye[list(col_units)], dtype)
+        out = jnp.einsum("nhgj,nv,nu->vhguj", w4, rhot, chot)
+        return out.reshape(UH, 4 * UH)
 
+    rec = scatter(jnp.stack([w for op in operands for w in op["w_hh"]]),
+                  range(U), range(U))
     feed_ws, feed_units = [], []
     for s, op in enumerate(operands):
         for l in range(1, depths[s]):
             feed_ws.append(op["w_ih_rest"][l - 1])
             feed_units.append(offsets[s] + l)
-    rec_ws = [w for op in operands for w in op["w_hh"]]
-
-    parts = []
+    W_eff = rec
     if feed_ws:
-        parts.append(scatter_units(jnp.stack(feed_ws), feed_units, n_feed))
-    parts.append(scatter_units(jnp.stack(rec_ws), list(range(U)), U))
-    W_all = jnp.concatenate(parts, axis=0)  # (I + UH, 4UH)
+        W_eff = W_eff + scatter(jnp.stack(feed_ws),
+                                [u - 1 for u in feed_units], feed_units)
 
     # biases of layers >= 1, gate-major (layer-0 bias rides inside xs)
     b4 = jnp.zeros((U, 4, H), dtype)
@@ -439,7 +444,7 @@ def _wavefront_pack(operands, H, depths, offsets, U):
                 op["b_rest"][l - 1].reshape(4, H))
     b_packed = jnp.swapaxes(b4, 0, 1).reshape(4 * UH)
 
-    return W_all, b_packed, I
+    return W_eff, b_packed
 
 
 def _wavefront_xs(operands, H, depths, offsets, U, K, S):
@@ -465,39 +470,19 @@ def _wavefront_xs(operands, H, depths, offsets, U, K, S):
     return jnp.concatenate(cols, axis=3).reshape(K, B, 4 * U * H)
 
 
-def _wavefront_feed(h_cat, depths, offsets, H):
-    """z_inp: per stream, the h columns of units 0..d-2 (contiguous)."""
-    return jnp.concatenate(
-        [h_cat[:, offsets[s] * H:(offsets[s] + depths[s] - 1) * H]
-         for s in range(len(depths))], axis=-1)
-
-
-def _wavefront_feed_back(dinp, dh, depths, offsets, H):
-    """Scatter the z_inp cotangent back onto units 0..d-2 of each stream:
-    pad each stream's block with one zero unit at the top layer, concat —
-    the exact adjoint of _wavefront_feed, as two pads and one concat."""
-    B = dh.shape[0]
-    pieces, p = [], 0
-    for s in range(len(depths)):
-        w = (depths[s] - 1) * H
-        blk = dinp[:, p:p + w]
-        pieces.append(jnp.concatenate(
-            [blk, jnp.zeros((B, H), dh.dtype)], axis=-1))
-        p += w
-    return dh + jnp.concatenate(pieces, axis=-1)
-
-
-def _wavefront_scan(operands, unroll, with_residuals):
+def _wavefront_scan(operands, unroll, with_residuals, impl="scan"):
     """Forward wavefront. Returns ((h_fin, c_fin) packed, per-step outputs):
     h_seq (K, B, U*H) masked states and, with_residuals, also (gates_seq,
-    c_seq)."""
+    c_seq). impl="pallas" runs the recurrence as one pallas program with
+    W_eff VMEM-resident (wavefront_pallas.wavefront_scan_pallas) instead
+    of a lax.scan."""
     H, depths, offsets, U, D, lvec = _wavefront_meta(operands)
     S, B = operands[0]["xs"].shape[:2]
     K = S + D - 1
     dtype = operands[0]["xs"].dtype
     UH = U * H
 
-    W_all, b_packed, I = _wavefront_pack(operands, H, depths, offsets, U)
+    W_eff, b_packed = _wavefront_pack(operands, H, depths, offsets, U)
     xs_wave = _wavefront_xs(operands, H, depths, offsets, U, K, S)
     lvec_u = jnp.asarray(lvec)  # (U,)
 
@@ -506,12 +491,15 @@ def _wavefront_scan(operands, unroll, with_residuals):
     c0 = jnp.concatenate(
         [c for op in operands for c in op["init_c"]], axis=-1)
 
+    if impl == "pallas":
+        from .wavefront_pallas import wavefront_scan_pallas
+        return wavefront_scan_pallas(W_eff, b_packed, xs_wave, h0, c0,
+                                     lvec, S, with_residuals)
+
     def step(carry, xk):
         h_cat, c_cat = carry
         xs_k, k = xk
-        z = jnp.concatenate(
-            [_wavefront_feed(h_cat, depths, offsets, H), h_cat], axis=-1)
-        gates = z @ W_all + xs_k + b_packed
+        gates = h_cat @ W_eff + xs_k + b_packed
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
         c_new = f * c_cat + i * jnp.tanh(g)
@@ -547,31 +535,35 @@ def _wavefront_unpack(h_fin, c_fin, h_seq, operands):
     return tuple(outs)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _wavefront_core(operands, unroll: int):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _wavefront_core(operands, unroll: int, impl: str = "scan"):
     """Wavefront-scheduled fused LSTM with a hand-written backward.
 
-    The backward is the reverse wavefront: one (B, 4UH) x (4UH, I+UH)
+    The backward is the reverse wavefront: one (B, 4UH) x (4UH, UH)
     matmul per reverse step (the adjoint of the packed forward matmul),
     validity-masked dgates, and — as in _streams_core — every weight
     gradient computed OUTSIDE the scan as one MXU matmul over the whole
     (K*B) axis. Masked steps contribute zero dgates, so the packed dW picks
     up no garbage from the staircase's warm-up/drain steps.
+
+    impl="pallas" runs both recurrences as single pallas programs with the
+    packed weights VMEM-resident (see wavefront_pallas.py); "scan" is the
+    lax.scan lowering. Same math, same residual layout.
     """
     (h_fin, c_fin), h_seq = _wavefront_scan(operands, unroll,
-                                            with_residuals=False)
+                                            with_residuals=False, impl=impl)
     return _wavefront_unpack(h_fin, c_fin, h_seq, operands)
 
 
-def _wavefront_core_fwd(operands, unroll: int):
+def _wavefront_core_fwd(operands, unroll: int, impl: str):
     (h_fin, c_fin), seq = _wavefront_scan(operands, unroll,
-                                          with_residuals=True)
+                                          with_residuals=True, impl=impl)
     gates_seq, h_seq, c_seq = seq
     out = _wavefront_unpack(h_fin, c_fin, h_seq, operands)
     return out, (operands, gates_seq, h_seq, c_seq)
 
 
-def _wavefront_core_bwd(unroll: int, res, cts):
+def _wavefront_core_bwd(unroll: int, impl: str, res, cts):
     operands, gates_seq, h_seq, c_seq = res
     H, depths, offsets, U, D, lvec = _wavefront_meta(operands)
     S, B = operands[0]["xs"].shape[:2]
@@ -579,7 +571,7 @@ def _wavefront_core_bwd(unroll: int, res, cts):
     dtype = operands[0]["xs"].dtype
     UH = U * H
 
-    W_all, _, I = _wavefront_pack(operands, H, depths, offsets, U)
+    W_eff, _ = _wavefront_pack(operands, H, depths, offsets, U)
     lvec_u = jnp.asarray(lvec)
 
     # inject dys at each stream's top-unit columns, staircase-aligned
@@ -611,6 +603,14 @@ def _wavefront_core_bwd(unroll: int, res, cts):
         [c for op in operands for c in op["init_c"]], axis=-1)
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
 
+    if impl == "pallas":
+        from .wavefront_pallas import wavefront_bwd_pallas
+        (dh_fin, dc_fin), dgates_seq = wavefront_bwd_pallas(
+            W_eff, gates_seq, c_seq, c_prev_seq, dY, dh0, dc0, lvec, S)
+        return _wavefront_weight_grads(
+            operands, dgates_seq, h_seq, h0, dh_fin, dc_fin,
+            H, depths, offsets, U, S, B, K, dtype)
+
     def body(carry, xk):
         dh_c, dc_c = carry
         gates, c_k, c_prev, dy_k, k = xk
@@ -627,11 +627,13 @@ def _wavefront_core_bwd(unroll: int, res, cts):
         valid = ((k >= lvec_u) & (k < S + lvec_u))
         m4 = jnp.tile(jnp.repeat(valid, H), 4)[None, :]
         dgates = jnp.where(m4, dgates, jnp.zeros_like(dgates))
-        dz = dgates @ W_all.T
-        dinp, dh_rec = dz[:, :I], dz[:, I:]
+        # masked dgates make this ONE matmul exact: for a valid unit v the
+        # row is dgates_v Whh[v]^T + dgates_{v+1} Wih[v+1]^T (recurrent +
+        # feed cotangents); for an invalid v, dgates_v = 0 leaves only the
+        # feed term, and the carried dh_tot passes through via the where.
+        dz = dgates @ W_eff.T
         m = jnp.repeat(valid, H)[None, :]
-        dh_new = jnp.where(m, dh_rec, dh_tot)
-        dh_new = _wavefront_feed_back(dinp, dh_new, depths, offsets, H)
+        dh_new = dz + jnp.where(m, jnp.zeros_like(dh_tot), dh_tot)
         dc_new = jnp.where(m, dct * f, dc_c)
         return (dh_new, dc_new), dgates
 
@@ -639,35 +641,35 @@ def _wavefront_core_bwd(unroll: int, res, cts):
     (dh_fin, dc_fin), dgates_seq = jax.lax.scan(
         body, (dh0, dc0), (gates_seq, c_seq, c_prev_seq, dY, ks),
         unroll=unroll, reverse=True)
+    return _wavefront_weight_grads(
+        operands, dgates_seq, h_seq, h0, dh_fin, dc_fin,
+        H, depths, offsets, U, S, B, K, dtype)
 
-    # weight gradients: one matmul over the whole (K*B) axis
+
+def _wavefront_weight_grads(operands, dgates_seq, h_seq, h0, dh_fin, dc_fin,
+                            H, depths, offsets, U, S, B, K, dtype):
+    # weight gradients: one matmul over the whole (K*B) axis. Masked-out
+    # steps contribute zero dgates, so the bidiagonal dW_eff picks up no
+    # garbage; the recurrent grad of unit u is its (row u, col u) block and
+    # the feed grad of unit u its (row u-1, col u) block — disjoint slots.
     h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
-    inp_seq = jnp.concatenate(
-        [h_prev_seq[:, :, offsets[s] * H:(offsets[s] + depths[s] - 1) * H]
-         for s in range(len(depths))], axis=-1)
-    z_seq = jnp.concatenate([inp_seq, h_prev_seq], axis=-1)
-    dW_all = _grad_matmul(z_seq, dgates_seq)  # (I+UH, 4UH)
+    dW_eff = _grad_matmul(h_prev_seq, dgates_seq)  # (UH, 4UH)
 
     dg4 = dgates_seq.reshape(K, B, 4, U, H)
     db_units = dg4.astype(jnp.float32).sum((0, 1))  # (4, U, H)
 
-    def unit_block(mat, row0, u):
-        # rows [row0, row0+H) of a packed (rows, 4UH) grad, unit-u columns
-        blk = mat[row0:row0 + H].reshape(H, 4, U, H)
-        return blk[:, :, u, :].reshape(H, 4 * H)
+    def unit_block(row_u, col_u):
+        # rows of unit row_u, gate-major columns of unit col_u
+        blk = dW_eff[row_u * H:(row_u + 1) * H].reshape(H, 4, U, H)
+        return blk[:, :, col_u, :].reshape(H, 4 * H)
 
     d_operands = []
-    feed_row = 0
     for s, op in enumerate(operands):
         d, off = depths[s], offsets[s]
         u0 = off
         dxs = dg4[:S, :, :, u0, :].reshape(S, B, 4 * H)
-        dw_ih = []
-        for l in range(1, d):
-            dw_ih.append(unit_block(dW_all, feed_row, off + l))
-            feed_row += H
-        dw_hh = tuple(unit_block(dW_all, I + (off + l) * H, off + l)
-                      for l in range(d))
+        dw_ih = [unit_block(off + l - 1, off + l) for l in range(1, d)]
+        dw_hh = tuple(unit_block(off + l, off + l) for l in range(d))
         db = tuple(db_units[:, off + l, :].reshape(4 * H).astype(dtype)
                    for l in range(1, d))
         d_operands.append({
@@ -713,12 +715,13 @@ def run_lstm_streams(streams: Sequence["LSTMStream"], unroll: int = 16,
          "init_h": st.init[0],
          "init_c": st.init[1]}
         for st in streams)
-    if schedule == "wavefront":
+    if schedule in ("wavefront", "wavefront_pallas"):
         hs = {st.w_hh[0].shape[0] for st in streams}
         if len(hs) != 1:
             raise ValueError(
                 f"wavefront schedule needs one shared hidden size, got {hs}")
-        outs = _wavefront_core(operands, unroll)
+        impl = "pallas" if schedule == "wavefront_pallas" else "scan"
+        outs = _wavefront_core(operands, unroll, impl)
     elif custom_grad:
         outs = _streams_core(operands, unroll)
     else:
@@ -751,8 +754,10 @@ class LSTM(nn.Module):
     # multiplies the compiled graph size (v5e sweep on TargetEncoder
     # fwd+bwd, batch 32: 4 -> 3.96 ms, 8 -> 4.15, 16 -> 3.62, 30 -> 4.15)
     unroll: int = 16
-    # "stacked" (layer-sequential body) or "wavefront" (staircase: one
-    # block-diagonal matmul per step for all layers — see _wavefront_core)
+    # "stacked" (layer-sequential body), "wavefront" (staircase: one
+    # block-bidiagonal matmul per step for all layers — see
+    # _wavefront_core), or "wavefront_pallas" (same schedule as one pallas
+    # program, weights VMEM-resident — see wavefront_pallas.py)
     schedule: str = "stacked"
     dtype: Optional[Dtype] = None
 
