@@ -136,6 +136,60 @@ def test_data_parallel_matches_single_device(cpu_mesh_devices):
         np.testing.assert_allclose(a, b, atol=1e-4 * global_scale)
 
 
+def test_tensor_parallel_matches_data_parallel(cpu_mesh_devices):
+    """Hybrid (4 data x 2 model) mesh vs pure 8-device DP: sharding wide
+    kernels over 'model' (parallel.mesh.tensor_parallel_rule) must be an
+    implementation detail — identical losses and parameter updates. With
+    tp_min_dim=32, MiniVae's (217, 32) Dense kernel shards (32 % 2 == 0)
+    while the (32, 87) head stays replicated (87 is odd), so the test
+    exercises mixed sharded/replicated leaves through GSPMD."""
+    import optax
+    from vae_teb_tpu.parallel import hybrid_mesh
+
+    batch = make_batch(np.random.default_rng(7), b=8)
+    results = []
+    for kind in ("dp", "tp"):
+        if kind == "dp":
+            mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+        else:
+            mesh = hybrid_mesh(4, 2, devices=cpu_mesh_devices)
+        trainer = Trainer(MiniVae(), TrainerConfig(lr=1e-2, tp_min_dim=32),
+                          mesh=mesh, tx=optax.sgd(1e-2))
+        state0 = trainer.init_state(batch)
+        state, metrics = trainer.train_step(state0, batch, beta=1e-5)
+        delta = jax.tree.map(lambda a, b: np.asarray(a - b),
+                             jax.device_get(state.params),
+                             jax.device_get(state0.params))
+        results.append((float(metrics["total_loss"]), delta, state))
+    (loss_dp, d_dp, _), (loss_tp, d_tp, st_tp) = results
+    np.testing.assert_allclose(loss_dp, loss_tp, rtol=1e-5)
+    global_scale = max(np.abs(l).max() for l in jax.tree.leaves(d_dp))
+    for a, b in zip(jax.tree.leaves(d_dp), jax.tree.leaves(d_tp)):
+        np.testing.assert_allclose(a, b, atol=1e-4 * global_scale)
+    # the wide kernel is REALLY sharded over 'model', not just replicated
+    wide = st_tp.params["Dense_0"]["kernel"]
+    spec = wide.sharding.spec
+    assert tuple(spec) == (None, "model"), spec
+
+    # and AdamW with bf16 moments trains on the hybrid mesh with the
+    # moments inheriting the kernel's sharding (unfused here: MiniVae's
+    # leaves all sit below flat_param_fusion's 1M-element threshold, so
+    # the fused path would — correctly — keep them in the replicated flat
+    # vector; in the real model the 23M-element heads stay individual and
+    # their moments shard, which is what this asserts at mini scale)
+    mesh = hybrid_mesh(4, 2, devices=cpu_mesh_devices)
+    trainer = Trainer(MiniVae(),
+                      TrainerConfig(lr=1e-3, tp_min_dim=32,
+                                    moment_dtype="bf16"), mesh=mesh,
+                      tx=make_optimizer(1e-3, moment_dtype=jnp.bfloat16,
+                                        fuse_small_params=False))
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch, beta=1e-5)
+    assert np.isfinite(float(metrics["total_loss"]))
+    mu = state.opt_state[1][0].mu
+    assert tuple(mu["Dense_0"]["kernel"].sharding.spec) == (None, "model")
+
+
 def test_fit_loop_with_early_stop_and_checkpoint(tmp_path, cpu_mesh_devices):
     mesh = data_parallel_mesh(devices=cpu_mesh_devices)
     cfg = TrainerConfig(lr=1e-3, epochs=4, early_stop_patience=1,
@@ -303,6 +357,39 @@ def test_full_model_data_parallel_parity(cpu_mesh_devices):
         seq.append(float(metrics["total_loss"]))
     assert all(np.isfinite(l) for l in seq)
     assert seq[-1] < seq[0]
+
+
+@pytest.mark.slow
+def test_full_model_tensor_parallel_parity(cpu_mesh_devices):
+    """The SHIPPING model on a hybrid (4 data x 2 model) mesh vs pure
+    8-device DP: with tp_min_dim=256 the decoder head kernels (raw_len =
+    S*16 = 256 at this test shape; 4800 in production) shard over
+    'model', and the update must match DP — through the real decoder,
+    loss reductions over the sharded output axis, and BatchNorm."""
+    import optax
+    from vae_teb_tpu.parallel import hybrid_mesh
+
+    batch = make_batch(np.random.default_rng(53), b=8)
+    deltas, losses, last = [], [], None
+    for kind in ("dp", "tp"):
+        mesh = (data_parallel_mesh(devices=cpu_mesh_devices)
+                if kind == "dp" else hybrid_mesh(4, 2, cpu_mesh_devices))
+        trainer = Trainer(SeqVaeTeb(),
+                          TrainerConfig(seed=42, tp_min_dim=256),
+                          mesh=mesh, tx=optax.sgd(1e-2))
+        state0 = trainer.init_state(batch)
+        state1, metrics = trainer.train_step(state0, batch, beta=1e-5)
+        deltas.append(jax.tree.map(lambda a, b: np.asarray(a - b),
+                                   jax.device_get(state1.params),
+                                   jax.device_get(state0.params)))
+        losses.append(float(metrics["total_loss"]))
+        last = state1
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    global_scale = max(np.abs(l).max() for l in jax.tree.leaves(deltas[0]))
+    for a, b in zip(jax.tree.leaves(deltas[0]), jax.tree.leaves(deltas[1])):
+        np.testing.assert_allclose(a, b, atol=1e-3 * global_scale)
+    head = last.params["decoder"]["output_mu"]["Dense_0"]["kernel"]
+    assert tuple(head.sharding.spec) == (None, "model"), head.sharding
 
 
 @pytest.mark.slow

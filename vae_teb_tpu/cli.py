@@ -82,7 +82,20 @@ def cmd_train(args) -> int:
         return 2
 
     model = _make_model(cfg)
-    trainer = Trainer(model, cfg.trainer)
+    mesh = None
+    tp = getattr(args, "model_parallel", 1)
+    if tp > 1:
+        # hybrid (data, model) mesh: wide decoder-head kernels +
+        # same-shaped optimizer moments shard over 'model'
+        # (parallel.mesh.tensor_parallel_rule); everything else stays DP
+        from .parallel import hybrid_mesh
+        n = len(jax.devices())
+        if n % tp:
+            log.error("--model-parallel %d does not divide %d devices",
+                      tp, n)
+            return 2
+        mesh = hybrid_mesh(n // tp, tp)
+    trainer = Trainer(model, cfg.trainer, mesh=mesh)
     bs = cfg.dataset.batch_size
     n_dev = trainer.mesh.devices.size
     global_bs = bs * n_dev
@@ -268,6 +281,10 @@ def main(argv: Optional[list] = None) -> int:
                     metavar="CKPT_DIR",
                     help="resume from the latest checkpoint (optionally "
                          "from an explicit checkpoint directory)")
+    pt.add_argument("--model-parallel", type=int, default=1,
+                    dest="model_parallel", metavar="N",
+                    help="shard the wide decoder heads over N devices "
+                         "(hybrid data x model mesh); default pure DP")
     pt.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() first: one process "
                          "per host across a multi-slice TPU pod; data is "

@@ -54,3 +54,54 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
         else:
             out[k] = v
     return type(batch)(out) if not isinstance(batch, dict) else out
+
+
+def hybrid_mesh(n_data: int, n_model: int,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ('data', 'model') mesh: data parallelism on the first axis,
+    tensor parallelism for the wide decoder heads on the second.
+
+    Beyond the reference (whose only strategy is DDP): the four
+    4800x4800 decoder head kernels are 92M of the model's ~94M
+    parameters, so pure DP replicates ~368 MB of fp32 params plus
+    moments per device and sweeps all of it through HBM in every AdamW
+    step. Sharding those kernels' output dim over 'model' divides both
+    the storage and the optimizer bandwidth by n_model, and splits the
+    head matmuls across chips with one reduce-scatter/all-gather pair
+    inserted by GSPMD. Lay the mesh out so 'model' rides ICI."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)[: n_data * n_model]
+    if len(devices) < n_data * n_model:
+        raise ValueError(
+            f"need {n_data * n_model} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(n_data, n_model),
+                ("data", "model"))
+
+
+def tensor_parallel_rule(mesh: Mesh, min_dim: int = 2048):
+    """Shape-based sharding rule for a TrainState pytree on a hybrid mesh.
+
+    Any 2-D leaf whose output (last) dim is >= min_dim and divisible by
+    the 'model' axis is sharded P(None, 'model'); everything else is
+    replicated. Applying the SAME rule to params, gradients-shaped
+    accumulators, and Adam moments keeps the whole optimizer sharded
+    consistently without any path bookkeeping: the packed optimizer
+    state (schedules.flat_param_fusion) keeps big leaves' shapes intact,
+    so their moments match the rule exactly, and the flat small-param
+    vector is 1-D and stays replicated.
+
+    min_dim=2048 catches exactly the (4800, 4800) decoder head kernels
+    at production width while leaving the deep narrow stack (width
+    16-64, where a collective would cost more than the compute)
+    replicated."""
+    m = mesh.shape["model"]
+    shard = NamedSharding(mesh, P(None, "model"))
+    repl = NamedSharding(mesh, P())
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) == 2 and shape[-1] >= min_dim and shape[-1] % m == 0:
+            return shard
+        return repl
+    return rule

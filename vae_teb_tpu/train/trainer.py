@@ -66,6 +66,11 @@ class TrainerConfig:
     # optimizer's HBM sweep over the 92M-param decoder heads — measured
     # 3.4 ms/step at fp32, benchmarks/trace_table.txt)
     moment_dtype: str = "fp32"
+    # tensor-parallel threshold on a hybrid ('data','model') mesh: 2-D
+    # kernels with output dim >= tp_min_dim shard over 'model' (see
+    # parallel.mesh.tensor_parallel_rule); only consulted when the
+    # Trainer's mesh has a 'model' axis of size > 1
+    tp_min_dim: int = 2048
 
     def model_dtype(self):
         import jax.numpy as jnp
@@ -148,17 +153,27 @@ class Trainer:
 
     def replicate(self, state: TrainState) -> TrainState:
         """Home a (possibly host-resident, e.g. checkpoint-restored)
-        TrainState onto the mesh, replicated. In multihost the mesh spans
-        non-addressable devices, so each process contributes its (identical,
-        same-seed/same-checkpoint) local copy of every leaf instead of a
-        plain device_put."""
-        sh = replicated_sharding(self.mesh)
+        TrainState onto the mesh: replicated on a pure-DP mesh; on a
+        hybrid ('data', 'model') mesh, wide 2-D kernels (the decoder
+        heads) and their same-shaped optimizer moments are tensor-
+        parallel per `tensor_parallel_rule`. In multihost the mesh spans
+        non-addressable devices, so each process contributes its
+        (identical, same-seed/same-checkpoint) local copy of every leaf
+        instead of a plain device_put."""
+        if ("model" in self.mesh.axis_names
+                and self.mesh.shape["model"] > 1):
+            from ..parallel.mesh import tensor_parallel_rule
+            rule = tensor_parallel_rule(self.mesh,
+                                        min_dim=self.config.tp_min_dim)
+        else:
+            sh = replicated_sharding(self.mesh)
+            rule = lambda x: sh
         if jax.process_count() > 1:
             host = jax.device_get(state)
             return jax.tree.map(
                 lambda x: jax.make_array_from_process_local_data(
-                    sh, np.asarray(x)), host)
-        return jax.device_put(state, sh)
+                    rule(x), np.asarray(x)), host)
+        return jax.tree.map(lambda x: jax.device_put(x, rule(x)), state)
 
     # -- steps ---------------------------------------------------------------
 
