@@ -1,47 +1,46 @@
-"""Batch-size sweep of the headline pipeline (round-3 directive #6).
+"""Batch-size sweep of the production pipeline step on the real chip.
 
-Runs bench.py's exact throughput methodology at several batch sizes and
-prints one JSON line per size, so BASELINE.md's batch/throughput/latency
-table can be regenerated with a single command:
+Runs bench.py at batch 32/64/128/256 (one process per batch: the axon
+runtime holds compiled executables alive, and a fresh process keeps each
+measurement independent), collects the JSON lines, and prints a markdown
+table ready for BASELINE.md. Throughput uses bench.py's scan-differenced
+methodology; `steady_latency_ms` is the per-window on-device encode
+latency at batch 1 (batch-independent, reported once).
 
-    PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/batch_sweep.py [sizes...]
-
-Each size runs in a fresh subprocess: the axon runtime keeps compiled
-programs alive per-process, and distinct batch shapes would otherwise
-accumulate HBM and skew later runs.
+Run: python benchmarks/batch_sweep.py [--batches 32,64,128,256]
 """
 
 import json
-import os
 import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [32, 64, 128, 256]
-    results = []
-    for b in sizes:
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"),
-             "--batch", str(b)],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+    batches = [32, 64, 128, 256]
+    if "--batches" in sys.argv:
+        batches = [int(b) for b in
+                   sys.argv[sys.argv.index("--batches") + 1].split(",")]
+    rows = []
+    for b in batches:
+        proc = subprocess.run(
+            [sys.executable, "bench.py", "--batch", str(b)],
+            capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         try:
-            rec = json.loads(line)
+            rows.append(json.loads(line))
         except json.JSONDecodeError:
-            print(f"batch {b}: FAILED\n{out.stdout[-500:]}\n{out.stderr[-500:]}",
+            print(f"batch {b} FAILED:\n{proc.stderr[-2000:]}",
                   file=sys.stderr)
             continue
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
-    if results:
-        best = max(results, key=lambda r: r["value"])
-        print(f"# best: batch {best['batch_size']} at {best['value']:.0f} "
-              f"windows/s/chip", flush=True)
+        print(f"batch {b}: {line}", flush=True)
+
+    print("\n| batch | windows/s/chip | ms/step | MFU | p50 one-shot ms |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        ms_step = 1000.0 * r["batch_size"] / r["value"]
+        mfu = f"{100 * r['mfu']:.2f}%" if r.get("mfu") else "—"
+        print(f"| {r['batch_size']} | {r['value']:.0f} | {ms_step:.1f} "
+              f"| {mfu} | {r['p50_encode_latency_ms']:.1f} |")
 
 
 if __name__ == "__main__":

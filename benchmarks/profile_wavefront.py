@@ -106,7 +106,7 @@ def fwdbwd_step(schedule, unroll):
 def main():
     unrolls = [int(u) for u in sys.argv[1:]] or [16]
     for unroll in unrolls:
-        for schedule in ("stacked", "wavefront"):
+        for schedule in ("stacked", "wavefront", "wavefront_pallas"):
             tf = scan_time(fwd_step(schedule, unroll))
             tb = scan_time(fwdbwd_step(schedule, unroll))
             print(f"unroll {unroll:3d} {schedule:9s}: fwd {tf:6.2f} ms   "
