@@ -88,6 +88,29 @@ def test_train_step_updates_params(cpu_trainer):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_donate_state_matches_and_frees(cpu_mesh_devices):
+    """donate_state=True must produce the identical update (donation is an
+    aliasing hint, not a semantic change) while actually releasing the old
+    state's buffers — the production memory path (cli train, dryrun)."""
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    batch = make_batch(np.random.default_rng(7))
+    states, trainers = [], []
+    for donate in (False, True):
+        cfg = TrainerConfig(lr=1e-3, kld_beta=1e-5, donate_state=donate)
+        trainer = Trainer(MiniVae(), cfg, mesh=mesh)
+        s0 = trainer.init_state(make_batch(np.random.default_rng(0), b=2))
+        s1, _ = trainer.train_step(s0, batch, beta=1e-5)
+        states.append(s1)
+        trainers.append((trainer, s0))
+    ref, don = states
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(don.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the donated input really was consumed (buffers deleted)
+    _, s0_donated = trainers[1]
+    leaf = jax.tree.leaves(s0_donated.params)[0]
+    assert leaf.is_deleted()
+
+
 def test_loss_decreases_on_repeated_batch(cpu_trainer):
     trainer, state = cpu_trainer
     batch = make_batch(np.random.default_rng(2))

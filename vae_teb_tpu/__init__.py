@@ -13,6 +13,7 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
   parallel/  — mesh construction + sharding policy
   train/     — jitted train/eval steps, schedules, checkpointing
   eval/      — transfer entropy, VAF/MSE/SNR metrics, causality analyses
+  serve.py   — jax.export serving artifacts + streaming encode sessions
 """
 
 __version__ = "0.1.0"

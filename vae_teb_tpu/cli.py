@@ -95,6 +95,9 @@ def cmd_train(args) -> int:
                       tp, n)
             return 2
         mesh = hybrid_mesh(n // tp, tp)
+    # production loop rebinds state every step, so donate the old one:
+    # params + moments update in place instead of double-buffering ~0.8 GB
+    cfg.trainer.donate_state = True
     trainer = Trainer(model, cfg.trainer, mesh=mesh)
     bs = cfg.dataset.batch_size
     n_dev = trainer.mesh.devices.size
@@ -234,6 +237,51 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Lower a trained checkpoint to a serving artifact (StableHLO via
+    jax.export): the deployment path the reference lacks (its test/predict
+    entries re-instantiate the torch module in Python). See serve.py."""
+    import numpy as np
+
+    from . import serve
+    from .train import Checkpointer, Trainer, load_config
+
+    cfg = load_config(args.config, root=args.root)
+    model = _make_model(cfg)
+    s = args.seq_len
+    b = args.static_batch or 1
+    batch = {
+        "fhr_st": np.zeros((b, s, 43), np.float32),
+        "fhr_ph": np.zeros((b, s, 44), np.float32),
+        "fhr_up_ph": np.zeros((b, s, 130), np.float32),
+        "fhr": np.zeros((b, s * 16), np.float32),
+    }
+    trainer = Trainer(model, cfg.trainer)
+    state = trainer.init_state(batch)
+    ckpt_dir = args.checkpoint or cfg.checkpoints.test_checkpoint_path
+    if ckpt_dir:
+        state = Checkpointer(ckpt_dir, keep=cfg.checkpoints.keep).restore(
+            state, best=True)
+    else:
+        print("warning: no checkpoint given, exporting fresh weights")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    platforms = args.platforms.split(",") if args.platforms else None
+    if args.stream:
+        exp = serve.export_source_stream(
+            model, variables, batch_size=b, chunk_len=args.chunk_len,
+            platforms=platforms, bundle_params=args.bundle_params)
+    else:
+        exp = serve.export_inference(
+            model, variables, batch,
+            batch_polymorphic=args.static_batch is None,
+            platforms=platforms, bundle_params=args.bundle_params)
+    n = serve.save_artifact(exp, args.out)
+    kind = "stream step" if args.stream else "inference"
+    print(f"exported {kind} ({n / 1e6:.1f} MB, platforms="
+          f"{platforms or 'host default'}) -> {args.out}")
+    return 0
+
+
 def cmd_build_data(args) -> int:
     from .data import (DatasetStatsCalculator, build_dataset,
                        build_dataset_from_records, synthetic_records)
@@ -303,6 +351,34 @@ def main(argv: Optional[list] = None) -> int:
     pe.add_argument("--with-scattering", action="store_true",
                     help="enable shift/gain analyses (on-device scattering)")
     pe.set_defaults(fn=cmd_test)
+
+    px = sub.add_parser("export",
+                        help="lower a checkpoint to a StableHLO serving "
+                             "artifact (jax.export)")
+    px.add_argument("--config", required=True)
+    px.add_argument("--root", default=None)
+    px.add_argument("--checkpoint", default=None)
+    px.add_argument("--out", required=True, help="artifact file path")
+    px.add_argument("--seq-len", type=int, default=300,
+                    help="decimated sequence length (default: production "
+                         "300)")
+    px.add_argument("--static-batch", type=int, default=None, metavar="B",
+                    help="export at a fixed batch size (default: symbolic "
+                         "batch — one artifact serves every size)")
+    px.add_argument("--platforms", default=None,
+                    help="comma list, e.g. tpu,cpu (cross-lowering; "
+                         "default: this host's platform)")
+    px.add_argument("--bundle-params", action="store_true",
+                    help="bake the weights into the artifact (self-"
+                         "contained file) instead of taking them as an "
+                         "argument")
+    px.add_argument("--stream", action="store_true",
+                    help="export the incremental source-encode step "
+                         "instead of the full forward")
+    px.add_argument("--chunk-len", type=int, default=1,
+                    help="chunk length for --stream (default 1: per-"
+                         "timestep serving)")
+    px.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("build-data", help="build a synthetic dataset")
     pb.add_argument("--out", required=True)

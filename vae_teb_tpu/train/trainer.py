@@ -71,6 +71,14 @@ class TrainerConfig:
     # parallel.mesh.tensor_parallel_rule); only consulted when the
     # Trainer's mesh has a 'model' axis of size > 1
     tp_min_dim: int = 2048
+    # donate the input TrainState to the jitted step: XLA aliases the
+    # 94M-param fp32 params + Adam moments in place instead of holding
+    # live input AND output copies across the step (~0.8 GB of transient
+    # HBM at production size). Off by default because donation deletes
+    # the caller's old state — rewind/parity workflows (and several
+    # tests) re-step from a saved state object. Production entry points
+    # (cli train, bench, dryrun) turn it on.
+    donate_state: bool = False
 
     def model_dtype(self):
         import jax.numpy as jnp
@@ -180,7 +188,9 @@ class Trainer:
     def _build_train_step(self):
         model, tx = self.model, self.tx
 
-        @jax.jit
+        donate = (0,) if self.config.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
         def train_step(state: TrainState, y_st, y_ph, x_ph, y_raw, beta):
             rng, sample_rng = jax.random.split(state.rng)
 
