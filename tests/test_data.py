@@ -301,6 +301,90 @@ def test_build_and_load(small_dataset):
     ds.close()
 
 
+def test_read_batch_matches_collate(small_dataset):
+    """The batched ingest path (one preallocated buffer + low-level
+    hyperslab reads + batch-level in-place normalization) must be
+    bit-identical to per-sample collate — including guid/label fields,
+    shuffled order, and the partially-warm-cache case."""
+    path, stats_path, _ = small_dataset
+    ds = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=0)
+    idx = list(np.random.default_rng(0).permutation(len(ds)))
+    got, want = ds.read_batch(idx), ds.collate(idx)
+    assert set(got) == set(want)
+    for k in want:
+        if isinstance(want[k], np.ndarray):
+            assert got[k].dtype == want[k].dtype, k
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+        else:
+            assert got[k] == want[k], k
+    ds.close()
+    # cached variant: first batch warms per-sample cache entries, second
+    # read over overlapping indices must still match
+    ds2 = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=100)
+    ds2.read_batch(idx[:3])
+    got2 = ds2.read_batch(idx)
+    for k in want:
+        if isinstance(want[k], np.ndarray):
+            np.testing.assert_array_equal(got2[k], want[k], err_msg=k)
+    # FULLY-cached repeat (regression: the all-cached fast path must not
+    # call collate while holding the cache lock — deadlocked once)
+    got3 = ds2.read_batch(idx)
+    for k in want:
+        if isinstance(want[k], np.ndarray):
+            np.testing.assert_array_equal(got3[k], want[k], err_msg=k)
+    ds2.close()
+
+
+def test_normalize_inplace_matches_reference_fn(rng):
+    """normalize_field_inplace (the host ingest fast path) == the traceable
+    normalize_field, per field type, on batched (B, C, S) data."""
+    from vae_teb_tpu.data import normalize_field_inplace
+    b, s = 4, 24
+    for name, c in (("fhr_st", 6), ("fhr_ph", 5), ("fhr_up_ph", 7)):
+        x = (rng.standard_normal((b, c, s)) * 3).astype(np.float32)
+        mean = rng.standard_normal(c).astype(np.float32)
+        var = np.abs(rng.standard_normal(c)).astype(np.float32) + 0.5
+        st = default_field_stats(name, mean, var, n_channels=c)
+        want = np.asarray(normalize_field(x, name, st, channel_axis=-2))
+        got = normalize_field_inplace(x.copy(), name, st, channel_axis=-2)
+        np.testing.assert_array_equal(got, want, err_msg=name)
+    x = (rng.standard_normal((b, 50)) * 10 + 140).astype(np.float32)
+    st = default_field_stats("fhr", mean=140.0, variance=100.0)
+    want = np.asarray(normalize_field(x, "fhr", st))
+    got = normalize_field_inplace(x.copy(), "fhr", st)
+    np.testing.assert_array_equal(got, want)
+    # non-contiguous channel assignment falls back to the reference fn
+    x = np.abs(rng.standard_normal((b, 5, s))).astype(np.float32)
+    st = FieldStats(mean=np.zeros(5, np.float32),
+                    variance=np.ones(5, np.float32),
+                    log_channels=(0, 2), asinh_channels=(1, 4))
+    want = np.asarray(normalize_field(x, "weird", st, channel_axis=-2))
+    got = normalize_field_inplace(x.copy(), "weird", st, channel_axis=-2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_raw_layout_roundtrip(small_dataset):
+    """raw_layout=True + normalize_fields=() delivers on-disk (C, S) bytes;
+    host-side normalize+transpose then reproduces the normal loader output
+    (the contract Trainer(normalize_stats=...) relies on)."""
+    from vae_teb_tpu.data import normalize_field_inplace
+    path, stats_path, _ = small_dataset
+    raw = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=0,
+                              normalize_fields=(), raw_layout=True)
+    ref = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=0)
+    idx = list(range(len(raw)))
+    b_raw, b_ref = raw.read_batch(idx), ref.read_batch(idx)
+    for name in ("fhr_st", "fhr_ph", "fhr_up_ph"):
+        b_, s_, c_ = b_ref[name].shape  # ref is (B, S, C)
+        assert b_raw[name].shape == (b_, c_, s_)
+        v = normalize_field_inplace(b_raw[name].copy(), name,
+                                    raw.stats[name], channel_axis=-2)
+        np.testing.assert_allclose(np.swapaxes(v, 1, 2), b_ref[name],
+                                   rtol=0, atol=1e-6, err_msg=name)
+    raw.close()
+    ref.close()
+
+
 def test_dataset_filtering(small_dataset):
     path, stats_path, _ = small_dataset
     ds_all = CombinedHDF5Dataset(path, cache_size=0)

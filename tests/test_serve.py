@@ -128,6 +128,27 @@ def test_export_source_stream_roundtrip(model_state, tmp_path):
                                    np.asarray(full), rtol=0, atol=1e-5)
 
 
+def test_export_cross_platform_lowering(model_state):
+    """platforms=('tpu','cpu') lowers the module for a TPU serving fleet
+    from this CPU build host (no TPU attached) — the deploy story serve.py
+    claims. The dual-platform artifact must roundtrip and still execute on
+    the platform we do have."""
+    model, variables, batch = model_state
+    with jax.default_device(CPU):
+        exp = serve.export_inference(model, variables, batch,
+                                     platforms=("tpu", "cpu"))
+        art = jax.export.deserialize(bytearray(exp.serialize()))
+        assert art.platforms == ("tpu", "cpu")
+        got = art.call(variables, jnp.asarray(batch["fhr_st"]),
+                       jnp.asarray(batch["fhr_ph"]),
+                       jnp.asarray(batch["fhr_up_ph"]))
+        want = _direct(model, variables, batch)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       rtol=0, atol=1e-4, err_msg=k)
+
+
 def test_streaming_session(model_state):
     """StreamingSession carries state internally and reproduces the full
     causal encode over uneven chunk boundaries."""

@@ -111,6 +111,65 @@ def test_donate_state_matches_and_frees(cpu_mesh_devices):
     assert leaf.is_deleted()
 
 
+def test_device_normalize_matches_host(cpu_mesh_devices):
+    """Trainer(normalize_stats=...) fed raw (B, C, S) unnormalized batches
+    must produce the same update as a plain Trainer fed host-normalized
+    (B, S, C) batches: normalization + layout fold into the compiled step
+    without changing semantics (the --device-normalize ingest fast path)."""
+    from vae_teb_tpu.data import default_field_stats
+    from vae_teb_tpu.data.normalize import normalize_field_inplace
+
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    rng = np.random.default_rng(11)
+    raw = make_batch(rng)
+    stats = {
+        "fhr_st": default_field_stats(
+            "fhr_st", rng.standard_normal(43).astype(np.float32),
+            np.abs(rng.standard_normal(43)).astype(np.float32) + 0.5,
+            n_channels=43),
+        "fhr_ph": default_field_stats(
+            "fhr_ph", rng.standard_normal(44).astype(np.float32),
+            np.ones(44, np.float32), n_channels=44),
+        "fhr_up_ph": default_field_stats(
+            "fhr_up_ph", rng.standard_normal(130).astype(np.float32),
+            np.ones(130, np.float32), n_channels=130),
+        "fhr": default_field_stats("fhr", 140.0, 100.0),
+    }
+    # host-normalized (model-layout) twin of the raw batch
+    host = {}
+    raw_cs = {}
+    for k in ("fhr_st", "fhr_ph", "fhr_up_ph"):
+        cs = np.ascontiguousarray(np.swapaxes(raw[k], 1, 2))  # (B, C, S)
+        raw_cs[k] = cs
+        host[k] = np.ascontiguousarray(
+            np.swapaxes(normalize_field_inplace(cs.copy(), k, stats[k],
+                                                channel_axis=-2), 1, 2))
+    host["fhr"] = normalize_field_inplace(raw["fhr"].copy(), "fhr",
+                                          stats["fhr"])
+    raw_cs["fhr"] = raw["fhr"]
+
+    cfg = TrainerConfig(lr=1e-3, kld_beta=1e-5)
+    t_host = Trainer(MiniVae(), cfg, mesh=mesh)
+    t_dev = Trainer(MiniVae(), cfg, mesh=mesh, normalize_stats=stats)
+    s_host = t_host.init_state(make_batch(np.random.default_rng(0), b=2))
+    s_dev = t_dev.init_state(
+        {k: (np.swapaxes(v, 1, 2) if v.ndim == 3 else v)
+         for k, v in make_batch(np.random.default_rng(0), b=2).items()})
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s_host, m_host = t_host.train_step(s_host, host, beta=1e-5)
+    s_dev, m_dev = t_dev.train_step(s_dev, raw_cs, beta=1e-5)
+    np.testing.assert_allclose(float(m_dev["total_loss"]),
+                               float(m_host["total_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
 def test_loss_decreases_on_repeated_batch(cpu_trainer):
     trainer, state = cpu_trainer
     batch = make_batch(np.random.default_rng(2))

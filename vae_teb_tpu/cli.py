@@ -36,7 +36,9 @@ def _make_model(cfg):
                      dtype=cfg.trainer.model_dtype())
 
 
-def _loaders(cfg, split: str):
+def _loaders(cfg, split: str, raw: bool = False):
+    """raw=True: on-disk (C, S) layout, no host normalization — the
+    Trainer(normalize_stats=...) on-device path (2.5x ingest throughput)."""
     from .data import CombinedHDF5Dataset
     ds_cfg = cfg.dataset
     paths = {"train": ds_cfg.train_paths, "val": ds_cfg.validation_paths,
@@ -45,9 +47,9 @@ def _loaders(cfg, split: str):
         return None
     return CombinedHDF5Dataset(
         paths, stats_path=ds_cfg.stat_path,
-        normalize_fields=ds_cfg.normalize_fields,
+        normalize_fields=() if raw else ds_cfg.normalize_fields,
         trim_minutes=ds_cfg.trim_minutes, decimation=ds_cfg.decimation,
-        cache_size=ds_cfg.cache_size)
+        cache_size=ds_cfg.cache_size, raw_layout=raw)
 
 
 def cmd_train(args) -> int:
@@ -75,8 +77,19 @@ def cmd_train(args) -> int:
     log = get_logger()
     log.info("run dir: %s (process %d/%d)", run_dir, rank, world)
 
-    train_ds = _loaders(cfg, "train")
-    val_ds = _loaders(cfg, "val")
+    device_norm = bool(getattr(args, "device_normalize", False))
+    norm_stats = None
+    if device_norm:
+        if not cfg.dataset.stat_path:
+            log.error("--device-normalize needs dataset.stat_path")
+            return 2
+        from .data import load_stats
+        norm_stats = load_stats(cfg.dataset.stat_path)
+        if cfg.dataset.normalize_fields is not None:
+            norm_stats = {k: v for k, v in norm_stats.items()
+                          if k in cfg.dataset.normalize_fields}
+    train_ds = _loaders(cfg, "train", raw=device_norm)
+    val_ds = _loaders(cfg, "val", raw=device_norm)
     if train_ds is None:
         log.error("no train_paths configured")
         return 2
@@ -98,7 +111,8 @@ def cmd_train(args) -> int:
     # production loop rebinds state every step, so donate the old one:
     # params + moments update in place instead of double-buffering ~0.8 GB
     cfg.trainer.donate_state = True
-    trainer = Trainer(model, cfg.trainer, mesh=mesh)
+    trainer = Trainer(model, cfg.trainer, mesh=mesh,
+                      normalize_stats=norm_stats)
     bs = cfg.dataset.batch_size
     n_dev = trainer.mesh.devices.size
     global_bs = bs * n_dev
@@ -161,6 +175,19 @@ def cmd_train(args) -> int:
     callbacks.append(MemoryMonitorCallback(log_fn=log.warning))
     if not rank and val_ds is not None and len(val_ds) and args.plot_every > 0:
         plot_batch = val_ds.collate(range(min(2, len(val_ds))))
+        if norm_stats is not None:
+            # the plot callback applies the model directly, so materialize
+            # the model layout (normalize + transpose) on host once
+            from .data.normalize import normalize_field_inplace
+            for k in ("fhr_st", "fhr_ph", "fhr_up_ph"):
+                v = plot_batch[k].copy()
+                if k in norm_stats:
+                    v = normalize_field_inplace(v, k, norm_stats[k],
+                                                channel_axis=-2)
+                plot_batch[k] = np.ascontiguousarray(np.swapaxes(v, 1, 2))
+            if "fhr" in norm_stats:
+                plot_batch["fhr"] = normalize_field_inplace(
+                    plot_batch["fhr"].copy(), "fhr", norm_stats["fhr"])
         callbacks.append(ReconstructionPlotCallback(
             os.path.join(run_dir, "train_results", "reconstructions"),
             plot_batch, every=args.plot_every))
@@ -329,6 +356,12 @@ def main(argv: Optional[list] = None) -> int:
                     metavar="CKPT_DIR",
                     help="resume from the latest checkpoint (optionally "
                          "from an explicit checkpoint directory)")
+    pt.add_argument("--device-normalize", action="store_true",
+                    dest="device_normalize",
+                    help="fold log/asinh/z-score normalization into the "
+                         "compiled train step (XLA fuses it for ~free) and "
+                         "feed raw-layout batches: the host loader only "
+                         "decompresses bytes (2.5x ingest throughput)")
     pt.add_argument("--model-parallel", type=int, default=1,
                     dest="model_parallel", metavar="N",
                     help="shard the wide decoder heads over N devices "

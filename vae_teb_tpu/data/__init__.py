@@ -4,7 +4,7 @@ from .dataset import Batch, CombinedHDF5Dataset, prefetch_to_device
 from .inspect import describe_hdf5, format_report, plot_sample
 from .normalize import (FieldStats, apply_channel_transforms,
                         default_field_stats, denormalize_field,
-                        normalize_field)
+                        normalize_field, normalize_field_inplace)
 from .schema import append_batch, append_sample, create_initial_hdf5, dataset_info
 from .splits import create_cv_splits, guid_label_splits
 from .stats import DatasetStatsCalculator, load_stats
@@ -16,7 +16,7 @@ __all__ = [
     "Batch", "CombinedHDF5Dataset", "prefetch_to_device",
     "describe_hdf5", "format_report", "plot_sample",
     "FieldStats", "apply_channel_transforms", "default_field_stats",
-    "denormalize_field", "normalize_field",
+    "denormalize_field", "normalize_field", "normalize_field_inplace",
     "append_batch", "append_sample", "create_initial_hdf5", "dataset_info",
     "DatasetStatsCalculator", "load_stats",
     "create_cv_splits", "guid_label_splits",

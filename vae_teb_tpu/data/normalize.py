@@ -111,6 +111,57 @@ def normalize_field(data: jnp.ndarray, field_name: str, stats: FieldStats,
     return (x - mean) / (std + EPS)
 
 
+def _contiguous_range(channels: Sequence[int]) -> Optional[Tuple[int, int]]:
+    if len(channels) == 0:
+        return (0, 0)
+    a = np.asarray(channels)
+    if len(a) == 1 or (np.diff(np.sort(a)) == 1).all():
+        return int(a.min()), int(a.max()) + 1
+    return None
+
+
+def normalize_field_inplace(data: np.ndarray, field_name: str,
+                            stats: FieldStats,
+                            channel_axis: int = -2) -> np.ndarray:
+    """Host-ingest fast path: semantically identical to `normalize_field`
+    but mutates `data` (a float ndarray the CALLER OWNS) with zero
+    temporaries. The production transform assignments are contiguous
+    channel ranges (fhr_st: log on 1..C-1; fhr_ph/fhr_up_ph: asinh on all),
+    so the transforms run as sliced in-place ufuncs instead of
+    `normalize_field`'s compute-log-AND-asinh-then-select — which is the
+    right shape for XLA fusion inside jit but 2x wasted flops on the host
+    loader's critical path (benchmarks/loader_bench.py). Non-contiguous
+    assignments fall back to the reference implementation."""
+    if field_name in SCALAR_FIELDS:
+        data -= float(stats.mean)
+        data /= float(stats.std) + EPS
+        return data
+    log_r = _contiguous_range(stats.log_channels)
+    asinh_r = _contiguous_range(stats.asinh_channels)
+    if log_r is None or asinh_r is None:
+        return np.asarray(normalize_field(data, field_name, stats,
+                                          channel_axis))
+
+    def chan_slice(lo: int, hi: int) -> Tuple[slice, ...]:
+        sl = [slice(None)] * data.ndim
+        sl[channel_axis] = slice(lo, hi)
+        return tuple(sl)
+
+    if log_r[1] > log_r[0]:
+        v = data[chan_slice(*log_r)]
+        np.clip(v, 0.0, None, out=v)
+        v += stats.log_epsilon
+        np.log(v, out=v)
+    if asinh_r[1] > asinh_r[0]:
+        v = data[chan_slice(*asinh_r)]
+        np.arcsinh(v, out=v)
+    shape = [1] * data.ndim
+    shape[channel_axis] = data.shape[channel_axis]
+    data -= stats.mean.reshape(shape).astype(data.dtype, copy=False)
+    data /= stats.std.reshape(shape).astype(data.dtype, copy=False) + EPS
+    return data
+
+
 def denormalize_field(data: jnp.ndarray, field_name: str, stats: FieldStats,
                       channel_axis: int = -2) -> jnp.ndarray:
     """Invert `normalize_field` (including the channel transforms), used by

@@ -101,9 +101,20 @@ class Trainer:
     """Data-parallel trainer for SeqVaeTeb-family models."""
 
     def __init__(self, model, config: TrainerConfig = TrainerConfig(),
-                 mesh=None, tx=None):
+                 mesh=None, tx=None, normalize_stats=None):
+        """normalize_stats: optional {field: FieldStats} (data.load_stats).
+        When given, batches arrive RAW — multichannel fields in on-disk
+        (B, C, S) layout, nothing normalized — and the log/asinh/z-score
+        transforms plus the (B,C,S)->(B,S,C) swap run INSIDE the jitted
+        step, where XLA fuses them into the first layer's reads for ~free.
+        The host loader (CombinedHDF5Dataset(raw_layout=True,
+        normalize_fields=())) then does nothing but decompress bytes:
+        measured 2.5x ingest throughput (benchmarks/loader_bench.py). The
+        reference burns DataLoader worker processes on the same math
+        (hdf5_dataset.py:18-137)."""
         self.model = model
         self.config = config
+        self.normalize_stats = normalize_stats
         self.mesh = mesh if mesh is not None else data_parallel_mesh()
         lr = (cosine_warm_restarts(config.lr, config.lr_t0_steps)
               if config.lr_t0_steps > 0 else config.lr)
@@ -145,11 +156,17 @@ class Trainer:
         with jax.default_device(self._local_mesh_device()):
             rng = jax.random.PRNGKey(self.config.seed)
             init_rng, sample_rng, state_rng = jax.random.split(rng, 3)
+            def sample(name):
+                x = jnp.asarray(sample_batch[name][:1])
+                # raw-layout batches arrive (B, C, S); init only needs the
+                # model-layout shape
+                if self.normalize_stats is not None and x.ndim == 3:
+                    x = jnp.swapaxes(x, 1, 2)
+                return x
+
             variables = self.model.init(
                 {"params": init_rng, "sample": sample_rng},
-                jnp.asarray(sample_batch["fhr_st"][:1]),
-                jnp.asarray(sample_batch["fhr_ph"][:1]),
-                jnp.asarray(sample_batch["fhr_up_ph"][:1]),
+                sample("fhr_st"), sample("fhr_ph"), sample("fhr_up_ph"),
                 train=False)
             params = variables["params"]
             batch_stats = variables.get("batch_stats", FrozenDict())
@@ -185,13 +202,34 @@ class Trainer:
 
     # -- steps ---------------------------------------------------------------
 
+    def _prep(self, y_st, y_ph, x_ph, y_raw):
+        """Traced batch preprocessing: identity unless normalize_stats is
+        set, in which case raw (B, C, S) fields are normalized on device
+        and swapped to the model's (B, S, C) layout."""
+        if self.normalize_stats is None:
+            return y_st, y_ph, x_ph, y_raw
+        from ..data.normalize import normalize_field
+        st = self.normalize_stats
+
+        def mc(x, name):
+            if name in st:
+                x = normalize_field(x, name, st[name], channel_axis=-2)
+            return jnp.swapaxes(x, 1, 2)
+
+        if "fhr" in st:
+            y_raw = normalize_field(y_raw, "fhr", st["fhr"])
+        return (mc(y_st, "fhr_st"), mc(y_ph, "fhr_ph"),
+                mc(x_ph, "fhr_up_ph"), y_raw)
+
     def _build_train_step(self):
         model, tx = self.model, self.tx
+        prep = self._prep
 
         donate = (0,) if self.config.donate_state else ()
 
         @partial(jax.jit, donate_argnums=donate)
         def train_step(state: TrainState, y_st, y_ph, x_ph, y_raw, beta):
+            y_st, y_ph, x_ph, y_raw = prep(y_st, y_ph, x_ph, y_raw)
             rng, sample_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
@@ -218,9 +256,11 @@ class Trainer:
 
     def _build_eval_step(self):
         model = self.model
+        prep = self._prep
 
         @jax.jit
         def eval_step(state: TrainState, y_st, y_ph, x_ph, y_raw, beta):
+            y_st, y_ph, x_ph, y_raw = prep(y_st, y_ph, x_ph, y_raw)
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 y_st, y_ph, x_ph, train=False, deterministic=True)
