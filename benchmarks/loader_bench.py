@@ -124,6 +124,21 @@ def main() -> int:
     print(f"as_batches  raw       : {wps:8.1f} windows/s  ({dt:.1f}s) "
           f"[normalize+transpose folded into the train step]")
 
+    from vae_teb_tpu.data import PackedWindowStore
+    packed_dir = path + ".packed"
+    if not os.path.exists(os.path.join(packed_dir, "manifest.json")):
+        t0 = time.perf_counter()
+        store = PackedWindowStore.build(make_ds(cache=0), packed_dir)
+        print(f"packed store built in {time.perf_counter() - t0:.1f}s")
+    else:
+        store = PackedWindowStore(packed_dir)
+    wps, dt = time_epochs(
+        lambda: store.as_batches(args.batch, shuffle=True, seed=4),
+        len(store))
+    results["packed (mmap)"] = wps
+    print(f"packed mmap store     : {wps:8.1f} windows/s  ({dt:.1f}s) "
+          f"[training-ready bytes, np.take per field]")
+
     import jax
     dev_kind = jax.devices()[0].platform
     wps, dt = time_epochs(
@@ -135,11 +150,10 @@ def main() -> int:
           f"[device_put to {dev_kind}]")
 
     chip = 1550.0
-    worst = min(results.values())
-    print(f"\nchip demand (BASELINE.md): {chip:.0f} windows/s; "
-          f"slowest host path: {worst:.0f} windows/s "
-          f"({'KEEPS UP' if worst >= chip else 'BOTTLENECK, '
-              f'{chip / worst:.1f}x short'})")
+    print(f"\nchip demand (BASELINE.md): {chip:.0f} windows/s "
+          f"(x8 for a v5e slice: {8 * chip:.0f})")
+    for name, wps in results.items():
+        print(f"  {name:24s}: {wps / chip:6.2f} chips fed per host core")
     if tmp:
         ds.close()
         ds_hot.close()

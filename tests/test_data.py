@@ -385,6 +385,37 @@ def test_raw_layout_roundtrip(small_dataset):
     ref.close()
 
 
+def test_packed_store_roundtrip(small_dataset, tmp_path):
+    """PackedWindowStore materializes a dataset once (trimmed/normalized/
+    model layout) and reads it back bit-identically through np.memmap —
+    the multi-chip ingest path (no per-epoch decompression)."""
+    from vae_teb_tpu.data import PackedWindowStore
+    path, stats_path, _ = small_dataset
+    ds = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=0)
+    out = str(tmp_path / "packed")
+    store = PackedWindowStore.build(ds, out, batch_size=3)
+    assert len(store) == len(ds)
+    assert store.meta["normalized"] is True
+    idx = list(np.random.default_rng(2).permutation(len(ds)))
+    got, want = store.read_batch(idx), ds.read_batch(idx)
+    for k in ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr", "target", "weight"):
+        assert got[k].dtype == want[k].dtype, k
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    assert got["guid"] == want["guid"]
+    # epoch semantics match the HDF5 loader exactly (shard disjointness)
+    for shard in range(2):
+        np.testing.assert_array_equal(
+            store.epoch_indices(True, seed=5, shard_index=shard,
+                                shard_count=2),
+            ds.epoch_indices(True, seed=5, shard_index=shard,
+                             shard_count=2))
+    # loading back from disk (fresh mmap) still matches
+    store2 = PackedWindowStore(out, fields=("fhr_st", "fhr"))
+    b = store2.read_batch([0, 1])
+    np.testing.assert_array_equal(b["fhr_st"], ds.read_batch([0, 1])["fhr_st"])
+    ds.close()
+
+
 def test_dataset_filtering(small_dataset):
     path, stats_path, _ = small_dataset
     ds_all = CombinedHDF5Dataset(path, cache_size=0)

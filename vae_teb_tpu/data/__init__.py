@@ -5,6 +5,7 @@ from .inspect import describe_hdf5, format_report, plot_sample
 from .normalize import (FieldStats, apply_channel_transforms,
                         default_field_stats, denormalize_field,
                         normalize_field, normalize_field_inplace)
+from .packed import PackedWindowStore
 from .schema import append_batch, append_sample, create_initial_hdf5, dataset_info
 from .splits import create_cv_splits, guid_label_splits
 from .stats import DatasetStatsCalculator, load_stats
@@ -17,6 +18,7 @@ __all__ = [
     "describe_hdf5", "format_report", "plot_sample",
     "FieldStats", "apply_channel_transforms", "default_field_stats",
     "denormalize_field", "normalize_field", "normalize_field_inplace",
+    "PackedWindowStore",
     "append_batch", "append_sample", "create_initial_hdf5", "dataset_info",
     "DatasetStatsCalculator", "load_stats",
     "create_cv_splits", "guid_label_splits",
