@@ -416,6 +416,23 @@ def test_packed_store_roundtrip(small_dataset, tmp_path):
     ds.close()
 
 
+def test_pack_data_cli(small_dataset, tmp_path):
+    """`cli pack-data` end-to-end: HDF5 -> packed store loadable by path."""
+    from vae_teb_tpu.cli import main
+    from vae_teb_tpu.data import PackedWindowStore
+    path, stats_path, _ = small_dataset
+    out = str(tmp_path / "packed_cli")
+    rc = main(["pack-data", "--data", path, "--stats", stats_path,
+               "--out", out, "--batch-size", "4"])
+    assert rc == 0
+    store = PackedWindowStore(out)
+    ds = CombinedHDF5Dataset(path, stats_path=stats_path, cache_size=0)
+    assert len(store) == len(ds)
+    np.testing.assert_array_equal(store.read_batch([0])["fhr_up_ph"],
+                                  ds.read_batch([0])["fhr_up_ph"])
+    ds.close()
+
+
 def test_dataset_filtering(small_dataset):
     path, stats_path, _ = small_dataset
     ds_all = CombinedHDF5Dataset(path, cache_size=0)
