@@ -306,6 +306,7 @@ class CombinedHDF5Dataset:
         out = Batch()
         n = len(indices)
         raw: Dict[str, np.ndarray] = {}
+        rows_written: Dict[str, int] = {}
         guids: Optional[List[Optional[str]]] = None
         for fi, group in by_file.items():
             f = self._open(fi)
@@ -335,6 +336,15 @@ class CombinedHDF5Dataset:
                 for pos, si in group:
                     fspace.select_hyperslab((si,) + zeros, (1,) + row)
                     dset.id.read(mspace, fspace, buf[pos:pos + 1])
+                rows_written[name] = rows_written.get(name, 0) + len(group)
+
+        for name, count in rows_written.items():
+            # mixed per-file schemas would leave uninitialized buffer rows;
+            # fail loudly like the per-sample path does (KeyError there)
+            if count != n:
+                raise KeyError(
+                    f"field {name!r} present in only {count}/{n} of the "
+                    "batch's source files — mixed dataset schemas")
 
         for name, data in raw.items():
             if name in ("cs_label", "bg_label"):
