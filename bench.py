@@ -75,7 +75,12 @@ def main():
     cross_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
     S = sc.scattering.n_out - 2 * trim
 
-    model = SeqVaeTeb(dtype=model_dtype)
+    # --schedule {stacked,wavefront,wavefront_pallas} A/Bs the LSTM
+    # execution schedule (BASELINE.md round-3 table); default = production.
+    schedule = "wavefront"
+    if "--schedule" in sys.argv:
+        schedule = sys.argv[sys.argv.index("--schedule") + 1]
+    model = SeqVaeTeb(dtype=model_dtype, lstm_schedule=schedule)
     rng = jax.random.PRNGKey(0)
     variables = model.init(
         {"params": rng, "sample": rng},
@@ -231,6 +236,7 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "batch_size": B,
         "precision": precision,
+        "lstm_schedule": schedule,
     }))
 
 
