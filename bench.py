@@ -65,7 +65,11 @@ def main():
         precision = "fp32"
     model_dtype = jnp.bfloat16 if precision == "bf16" else None
 
-    B, N = 32, 5760
+    # batch 128 = the measured throughput-optimal production batch on v5e
+    # (BASELINE.md round-3 sweep: 1823/1953/2528 win/s at 32/64/128 — the
+    # LSTM recurrence latency and optimizer HBM sweeps are per-step, not
+    # per-window). --batch 32 is the latency-balanced config (17.6 ms step).
+    B, N = 128, 5760
     if "--batch" in sys.argv:
         B = int(sys.argv[sys.argv.index("--batch") + 1])
     trim = 30
