@@ -80,8 +80,13 @@ def main():
     S = sc.scattering.n_out - 2 * trim
 
     # --schedule {stacked,wavefront,wavefront_pallas} A/Bs the LSTM
-    # execution schedule (BASELINE.md round-3 table); default = production.
-    schedule = "wavefront"
+    # execution schedule (BASELINE.md round-3 table). Production default =
+    # the pallas wavefront kernels: measured 2834 win/s at batch 128 vs
+    # 2528 for the XLA wavefront (the recurrence itself is 4.2x faster —
+    # W_eff stays VMEM-resident across the sequential grid). Single-chip
+    # only: multi-chip meshes keep schedule="wavefront" (a pallas call is
+    # opaque to GSPMD partitioning).
+    schedule = "wavefront_pallas"
     if "--schedule" in sys.argv:
         schedule = sys.argv[sys.argv.index("--schedule") + 1]
     model = SeqVaeTeb(dtype=model_dtype, lstm_schedule=schedule)
@@ -218,13 +223,18 @@ def main():
             return acc
         run(jnp.float32(0.0))  # compile
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(np.asarray(run(jnp.float32(0.0))))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    sk_lo, sk_hi = 2, 12
+    # Wide K spread + best-of-5: the differenced batch-1 encode is ~1 ms
+    # of device work against ~20 ms of tunnel dispatch, and a 10-step
+    # spread measured noisy (0.5-3.3 ms across sessions, one negative —
+    # BASELINE.md). 38 steps of spread puts the signal well above the
+    # per-call jitter.
+    sk_lo, sk_hi = 2, 40
     steady_latency_ms = 1000.0 * (encode_k(sk_hi) - encode_k(sk_lo)) / (
         sk_hi - sk_lo)
 
