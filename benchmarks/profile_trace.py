@@ -38,14 +38,19 @@ def build_step(B, model_dtype):
     cross_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
     S = sc.scattering.n_out - 2 * trim
 
-    model = SeqVaeTeb(dtype=model_dtype)
+    # mirror bench.py's production step: LSTM schedule + fused optimizer
+    schedule = "wavefront_pallas"
+    if "--schedule" in sys.argv:
+        schedule = sys.argv[sys.argv.index("--schedule") + 1]
+    model = SeqVaeTeb(dtype=model_dtype, lstm_schedule=schedule)
     rng = jax.random.PRNGKey(0)
     variables = model.init(
         {"params": rng, "sample": rng},
         jnp.zeros((1, S, 43)), jnp.zeros((1, S, 44)), jnp.zeros((1, S, 130)),
         train=False)
-    tx = optax.chain(optax.clip_by_global_norm(0.5),
-                     optax.adamw(1e-4, weight_decay=1e-4))
+    from vae_teb_tpu.train.schedules import make_optimizer
+    tx = make_optimizer(1e-4, 0.5, 1e-4, moment_dtype=jnp.bfloat16,
+                        fuse_small_params=True)
 
     def frontend(fhr, up):
         out = sc._analyze(fhr, up, phase_subset=phase_idx,

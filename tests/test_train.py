@@ -738,3 +738,17 @@ def test_config_yaml_roundtrip(tmp_path):
     assert loaded.dataset.train_paths == [str(tmp_path / "a.h5")]
     d = loaded.run_dir(create=True)
     assert os.path.isdir(os.path.join(d, "model_checkpoints"))
+
+
+def test_pallas_schedule_rejected_on_multi_device_mesh(cpu_mesh_devices):
+    """lstm_schedule='wavefront_pallas' is single-chip only: a pallas call
+    is opaque to GSPMD, so a >1-device mesh must fail loudly at Trainer
+    construction instead of silently gathering the batch (trainer.py
+    guard; BASELINE.md round-3 pallas section)."""
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    model = SeqVaeTeb(lstm_schedule="wavefront_pallas")
+    with pytest.raises(ValueError, match="single-chip only"):
+        Trainer(model, TrainerConfig(), mesh=mesh)
+    # a single-device mesh accepts it
+    single = data_parallel_mesh(devices=cpu_mesh_devices[:1])
+    Trainer(model, TrainerConfig(), mesh=single)
