@@ -1,7 +1,7 @@
 """Train this framework's SeqVaeTeb on the same dataset, same schedule.
 
 Usage: python elbo_parity_jax_side.py [steps] [data_dir] [save_path]
-           [precision] [moment_dtype]
+           [precision] [moment_dtype] [lstm_schedule]
 Defaults reproduce the round-1 60-step experiment; save_path pickles the
 final params/batch_stats for the behavioral comparison
 (parity_behavior_jax.py). precision: fp32 (default) or bf16 — bf16 is the
@@ -23,13 +23,15 @@ data_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/parity'
 save_path = sys.argv[3] if len(sys.argv) > 3 else None
 precision = sys.argv[4] if len(sys.argv) > 4 else 'fp32'
 moment_dtype = sys.argv[5] if len(sys.argv) > 5 else 'fp32'
+lstm_schedule = sys.argv[6] if len(sys.argv) > 6 else 'wavefront'
 
 ds = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                          trim_minutes=2.0, cache_size=0)
 mesh = data_parallel_mesh(devices=jax.devices()[:1])
 cfg = TrainerConfig(lr=1e-3, grad_clip_norm=0.5, weight_decay=1e-4,
                     precision=precision, moment_dtype=moment_dtype)
-trainer = Trainer(SeqVaeTeb(dtype=cfg.model_dtype()), cfg, mesh=mesh)
+trainer = Trainer(SeqVaeTeb(dtype=cfg.model_dtype(),
+                            lstm_schedule=lstm_schedule), cfg, mesh=mesh)
 B = 4
 order = np.arange(len(ds))
 state = trainer.init_state(ds.collate(order[:B]))
