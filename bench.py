@@ -73,7 +73,15 @@ def main():
     if "--batch" in sys.argv:
         B = int(sys.argv[sys.argv.index("--batch") + 1])
     trim = 30
-    sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1)
+    # bf16 correlation stage (products + decimate matmul; polar math and
+    # scattering stay fp32): measured 1.1e-3 rel coefficient error — 4x
+    # below the bf16 encoder's own input quantization — for a single-pass
+    # MXU decimate matmul and half the pair-rate HBM traffic.
+    # --fp32-frontend A/Bs the exact fp32/HIGHEST frontend back in.
+    corr_dtype = (jnp.bfloat16 if precision == "bf16"
+                  and "--fp32-frontend" not in sys.argv else None)
+    sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1,
+                           correlation_dtype=corr_dtype)
     sel = sc.optimal_fhr_selection()
     phase_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
     cross_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])

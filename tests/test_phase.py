@@ -182,3 +182,29 @@ def test_both_flags_compute_both(golden_loader):
     np.testing.assert_allclose(np.asarray(out["phase_corr"]),
                                np.asarray(only_ph["phase_corr"]),
                                rtol=1e-5, atol=1e-6)
+
+def test_bf16_correlation_mode_close_to_fp32():
+    """correlation_dtype=bfloat16 (the training-path frontend option:
+    bf16 pair-rate products + single-pass MXU decimate matmul with fp32
+    accumulation) must stay within ~2e-3 of the exact fp32 path and leave
+    the scattering family bit-identical. The error budget is set by the
+    bf16 encoder's own input quantization (~4e-3): the frontend must not
+    add more noise than the model immediately applies anyway."""
+    kw = dict(J=6, Q=2, T=8, shape=1024, max_order=1)
+    m32 = PhaseScattering1D(**kw)
+    mbf = PhaseScattering1D(**kw, correlation_dtype=jnp.bfloat16)
+    sel = m32.optimal_fhr_selection()
+    p_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
+    c_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
+    rng = np.random.default_rng(0)
+    fhr = jnp.asarray(rng.standard_normal((4, 1024)).astype(np.float32))
+    up = jnp.asarray(rng.standard_normal((4, 1024)).astype(np.float32))
+    a = m32.analyze(fhr, up, phase_subset=p_idx, cross_subset=c_idx)
+    b = mbf.analyze(fhr, up, phase_subset=p_idx, cross_subset=c_idx)
+    np.testing.assert_array_equal(np.asarray(a["scattering"]),
+                                  np.asarray(b["scattering"]))
+    for key in ("phase_corr", "cross_phase_corr"):
+        x, y = np.asarray(a[key]), np.asarray(b[key])
+        assert y.dtype == np.float32  # fp32 accumulation, fp32 outputs
+        rel = np.linalg.norm(x - y) / np.linalg.norm(x)
+        assert rel < 2e-3, (key, rel)

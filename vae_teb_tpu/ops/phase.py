@@ -203,10 +203,20 @@ class PhaseScattering1D:
     def __init__(self, J: int, Q: int, T: int, shape: int,
                  max_order: int = 1, oversampling: int = 0,
                  tukey_alpha: Optional[float] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, correlation_dtype=None):
         self.J, self.Q, self.T, self.N = J, Q, T, int(shape)
         self.tukey_alpha = tukey_alpha
         self.dtype = dtype
+        # Mixed-precision correlation stage (training-path option). The
+        # pair-rate intermediates (accelerated products, (B, P, N)) are the
+        # frontend's dominant HBM traffic and the phi-decimate matmul its
+        # dominant FLOPs; with correlation_dtype=bfloat16 the products are
+        # computed/stored in bf16 and the decimate matmul runs at native
+        # MXU rate with fp32 accumulation. Band filtering, modulus/arctan2
+        # and the scattering path stay fp32 (phase errors would be
+        # amplified by the acceleration powers). Golden-parity/analysis
+        # callers leave this None => bit-identical to the fp32 path.
+        self.correlation_dtype = correlation_dtype
 
         fb = build_filter_bank(J, Q, T, self.N)
         self.fb: FilterBank = fb
@@ -237,12 +247,16 @@ class PhaseScattering1D:
         # transposes. Measured on v5e: 7.2 ms -> ~1 ms for the batch-32
         # 130-pair cross path. Built once in float64 (exact), cast to fp32.
         self._decim_LrT = self._decim_LiT = None
+        self._decim_LrT_lp = self._decim_LiT_lp = None
         if self.decimation > 1:
             lrt, lit = _build_phi_decimation_operator(
                 self.N, self.pad_left, self.pad_right, self.N_padded,
                 np.asarray(fb.phi_levels[0], np.float64), self.decimation)
             self._decim_LrT = jnp.asarray(lrt, dtype)   # (N, n_out)
             self._decim_LiT = jnp.asarray(lit, dtype)
+            if correlation_dtype is not None:
+                self._decim_LrT_lp = jnp.asarray(lrt, correlation_dtype)
+                self._decim_LiT_lp = jnp.asarray(lit, correlation_dtype)
 
     # -- building blocks ----------------------------------------------------
 
@@ -282,6 +296,13 @@ class PhaseScattering1D:
         a cascade of pad materializations, sub-tile DFT factor matmuls, and
         transposes. Same values to ~1e-6 (the operator is composed in
         float64)."""
+        if self._decim_LrT_lp is not None and cr.dtype == self._decim_LrT_lp.dtype:
+            # low-precision inputs: single-pass MXU matmul, fp32 accumulate
+            # (vs 6 bf16 passes for the fp32/HIGHEST path below)
+            return (jnp.matmul(cr, self._decim_LrT_lp,
+                               preferred_element_type=jnp.float32)
+                    - jnp.matmul(ci, self._decim_LiT_lp,
+                                 preferred_element_type=jnp.float32))
         if self._decim_LrT is not None:
             return (jnp.matmul(cr, self._decim_LrT,
                                precision=sfft._PRECISION)
@@ -323,18 +344,28 @@ class PhaseScattering1D:
         return self._phi_decimate(cr, ci)
 
     @staticmethod
-    def _banded_product(ir_b, ii_b, ip, jr_b, ji_b, jp, powers
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _banded_product(ir_b, ii_b, ip, jr_b, ji_b, jp, powers,
+                        out_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Accelerated conjugate products from BAND tensors + static pair
         index vectors. modulus/arctan2 run once per band (the expensive
         transcendentals); only cos/sin of the scaled phase and the product
-        run at pair rate. Same values as gather-then-accelerate."""
+        run at pair rate. Same values as gather-then-accelerate.
+
+        `out_dtype` (see `correlation_dtype`) casts the four product
+        operands just before the complex multiply: the polar math (where
+        acceleration powers amplify phase error) stays fp32, only the
+        pair-rate (B, P, N) product tensors are stored low-precision —
+        these dominate the frontend's HBM write traffic."""
         mag = sfft.modulus(ir_b, ii_b)
         ph = jnp.arctan2(ii_b, ir_b)
         phs = ph[:, ip] * powers[..., :, None]
         ar = mag[:, ip] * jnp.cos(phs)
         ai = mag[:, ip] * jnp.sin(phs)
-        return sfft.cmul_conj(ar, ai, jr_b[:, jp], ji_b[:, jp])
+        jr_p, ji_p = jr_b[:, jp], ji_b[:, jp]
+        if out_dtype is not None:
+            ar, ai = ar.astype(out_dtype), ai.astype(out_dtype)
+            jr_p, ji_p = jr_p.astype(out_dtype), ji_p.astype(out_dtype)
+        return sfft.cmul_conj(ar, ai, jr_p, ji_p)
 
     def _subset(self, subset: Optional[np.ndarray]):
         if subset is None:
@@ -397,7 +428,8 @@ class PhaseScattering1D:
                 f1r, f1i = self._filter_all(x[:, 1, :], rows_j)
                 ip = jnp.asarray(np.searchsorted(rows_i, ii))
                 jp = jnp.asarray(np.searchsorted(rows_j, jj))
-                cr, ci = self._banded_product(f0r, f0i, ip, f1r, f1i, jp, pw)
+                cr, ci = self._banded_product(f0r, f0i, ip, f1r, f1i, jp, pw,
+                                              self.correlation_dtype)
                 out["cross_phase_corr"] = self._phi_decimate(cr, ci)
             else:
                 filtered = self._filter_all(x)  # (B, 2, C1, N)
@@ -414,7 +446,8 @@ class PhaseScattering1D:
                 fr, fi = self._filter_all(sig, rows)
                 ip = jnp.asarray(np.searchsorted(rows, ii))
                 jp = jnp.asarray(np.searchsorted(rows, jj))
-                cr, ci = self._banded_product(fr, fi, ip, fr, fi, jp, pw)
+                cr, ci = self._banded_product(fr, fi, ip, fr, fi, jp, pw,
+                                              self.correlation_dtype)
                 out["phase_corr"] = self._phi_decimate(cr, ci)
             else:
                 filtered = self._filter_all(sig)
@@ -490,14 +523,16 @@ class PhaseScattering1D:
         fr_b, fi_b = self._bands_from_spectrum(xr, xi, rows_fhr)
         ip = jnp.asarray(np.searchsorted(rows_fhr, pii))
         jp = jnp.asarray(np.searchsorted(rows_fhr, pjj))
-        cr_p, ci_p = self._banded_product(fr_b, fi_b, ip, fr_b, fi_b, jp, ppw)
+        cr_p, ci_p = self._banded_product(fr_b, fi_b, ip, fr_b, fi_b, jp, ppw,
+                                          self.correlation_dtype)
 
         if c_sub is not None and up is not None:
             ur_b, ui_b = self._filter_all(up, rows_up)
             cip = jnp.asarray(np.searchsorted(rows_fhr, cii))
             cjp = jnp.asarray(np.searchsorted(rows_up, cjj))
             cr_c, ci_c = self._banded_product(fr_b, fi_b, cip,
-                                              ur_b, ui_b, cjp, cpw)
+                                              ur_b, ui_b, cjp, cpw,
+                                              self.correlation_dtype)
             # one low-pass/decimate FFT over both families
             n_p = cr_p.shape[1]
             dec = self._phi_decimate(jnp.concatenate([cr_p, cr_c], axis=1),
