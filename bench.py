@@ -46,6 +46,11 @@ def _load_baseline():
 # denominator for the production (bf16) configuration.
 V5E_PEAK_FLOPS = 197e12
 
+# TPU v5e HBM bandwidth per chip (Google Cloud spec sheet: 819 GB/s).
+# The model is bandwidth/latency-bound, not FLOPs-bound (BASELINE.md trace
+# tables), so achieved-HBM-utilization is the honest companion to MFU.
+V5E_HBM_BYTES_PER_S = 819e9
+
 
 def main():
     import os
@@ -148,6 +153,7 @@ def main():
               tx.init(variables["params"]))
 
     flops_per_step = [None]
+    bytes_per_step = [None]
 
     def run_k(k, want_flops=False):
         @jax.jit
@@ -160,13 +166,17 @@ def main():
         if want_flops:
             # XLA's own cost model for the whole k-step program: the honest
             # numerator for MFU (counts the FLOPs the compiled program
-            # executes, incl. backward + optimizer, not a hand model).
+            # executes, incl. backward + optimizer, not a hand model) and
+            # for HBM utilization ("bytes accessed" covers every operand
+            # read + result write XLA schedules against HBM).
             try:
                 ca = compiled.cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
                 if ca and "flops" in ca:
                     flops_per_step[0] = float(ca["flops"]) / k
+                if ca and "bytes accessed" in ca:
+                    bytes_per_step[0] = float(ca["bytes accessed"]) / k
             except Exception:
                 pass
         float(np.asarray(compiled(carry0)))  # warm
@@ -182,6 +192,8 @@ def main():
     windows_per_sec = B / dt
     mfu = (flops_per_step[0] / dt / V5E_PEAK_FLOPS
            if flops_per_step[0] else None)
+    hbm_util = (bytes_per_step[0] / dt / V5E_HBM_BYTES_PER_S
+                if bytes_per_step[0] else None)
 
     # p50 encode latency: one window raw -> posterior latent (scattering +
     # all three encoders), the serving-side metric in BASELINE.json.
@@ -256,8 +268,10 @@ def main():
         "p50_encode_latency_ms": round(p50, 2),
         "steady_latency_ms": round(float(steady_latency_ms), 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "hbm_util": round(hbm_util, 4) if hbm_util is not None else None,
         "batch_size": B,
         "precision": precision,
+        "frontend": "bf16-corr" if corr_dtype is not None else "fp32",
         "lstm_schedule": schedule,
     }))
 

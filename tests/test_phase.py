@@ -208,3 +208,78 @@ def test_bf16_correlation_mode_close_to_fp32():
         assert y.dtype == np.float32  # fp32 accumulation, fp32 outputs
         rel = np.linalg.norm(x - y) / np.linalg.norm(x)
         assert rel < 2e-3, (key, rel)
+
+
+@pytest.mark.slow
+def test_bf16_correlation_production_shapes(golden_loader):
+    """Production-shape (J=11,Q=4,T=16,N=5760) error budget for the bf16
+    correlation frontend — the bench/production throughput default.
+
+    Budget: rel(bf16, fp32) < 4e-3 per family (one bf16 mantissa ulp,
+    2^-8 = 3.9e-3 — the products are single bf16 roundings with fp32
+    accumulation in the decimate matmul). For context this is ~10x BELOW
+    the fp32 implementation-vs-reference golden disagreement on the same
+    fixtures (TOL: 3e-2 phase / 8e-2 cross — fp32 phase-acceleration
+    chaos), i.e. bf16-corr adds an order of magnitude less error than two
+    equally valid fp32 implementations already differ by."""
+    g = golden_loader("prod_cross")
+    kw = dict(J=int(g["J"]), Q=int(g["Q"]), T=int(g["T"]), shape=int(g["N"]),
+              max_order=int(g["max_order"]))
+    m32 = PhaseScattering1D(**kw)
+    mbf = PhaseScattering1D(**kw, correlation_dtype=jnp.bfloat16)
+    sel = m32.optimal_fhr_selection()
+    p_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
+    c_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
+    x = jnp.asarray(g["x"])  # (B, 2, N) real production windows
+    fhr, up = x[:, 0, :], x[:, 1, :]
+    a = m32.analyze(fhr, up, phase_subset=p_idx, cross_subset=c_idx)
+    b = mbf.analyze(fhr, up, phase_subset=p_idx, cross_subset=c_idx)
+    np.testing.assert_array_equal(np.asarray(a["scattering"]),
+                                  np.asarray(b["scattering"]))
+    for key in ("phase_corr", "cross_phase_corr"):
+        ref, got = np.asarray(a[key]), np.asarray(b[key])
+        rel = np.linalg.norm(ref - got) / np.linalg.norm(ref)
+        assert rel < 4e-3, (key, rel)
+
+
+def test_bf16_correlation_all_pairs_path():
+    """correlation_dtype must also apply on the subset=None (all-pairs)
+    paths through _pair_correlation (round-3 advisor: the option silently
+    computed full fp32 there)."""
+    kw = dict(J=6, Q=2, T=8, shape=1024, max_order=1)
+    m32 = PhaseScattering1D(**kw)
+    mbf = PhaseScattering1D(**kw, correlation_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 2, 1024)).astype(np.float32))
+    f32 = m32._filter_all(x[:, 0])
+    fbf = mbf._filter_all(x[:, 0])
+    a = np.asarray(m32.phase_correlation(f32))
+    b = np.asarray(mbf.phase_correlation(fbf))
+    assert b.dtype == np.float32
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert 0 < rel < 2e-3, rel  # 0 < rel: the cast actually happened
+    # cross path, all pairs
+    ac = np.asarray(m32.cross_phase_correlation(m32._filter_all(x)))
+    bc = np.asarray(mbf.cross_phase_correlation(mbf._filter_all(x)))
+    relc = np.linalg.norm(ac - bc) / np.linalg.norm(ac)
+    assert 0 < relc < 2e-3, relc
+
+
+def test_bf16_correlation_fft_fallback_casts_back():
+    """With correlation_dtype set but no dense decimation operator (the
+    dec==1 / forced-FFT fallback), bf16 products must be cast back to fp32
+    before the DFT rather than promoting implicitly inside it (round-3
+    advisor finding)."""
+    m = PhaseScattering1D(J=6, Q=2, T=8, shape=1024, max_order=1,
+                          correlation_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    cr = jnp.asarray(rng.standard_normal((2, 3, 1024)), jnp.bfloat16)
+    ci = jnp.asarray(rng.standard_normal((2, 3, 1024)), jnp.bfloat16)
+    want = np.asarray(m._phi_decimate(cr, ci))  # dense lp operator path
+    m._decim_LrT_lp = m._decim_LiT_lp = None
+    m._decim_LrT = m._decim_LiT = None          # force the FFT fallback
+    got = np.asarray(m._phi_decimate(cr, ci))
+    assert got.dtype == np.float32
+    assert got.shape == want.shape
+    rel = np.linalg.norm(want - got) / np.linalg.norm(want)
+    assert rel < 2e-3, rel

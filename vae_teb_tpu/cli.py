@@ -249,8 +249,10 @@ def cmd_test(args) -> int:
     stats = None
     raw_ds = None
     if args.with_scattering:
-        scattering = PhaseScattering1D(J=11, Q=4, T=16, shape=5760,
-                                       max_order=1)
+        import jax.numpy as jnp
+        scattering = PhaseScattering1D(
+            J=11, Q=4, T=16, shape=5760, max_order=1,
+            correlation_dtype=jnp.bfloat16 if args.bf16_frontend else None)
         if cfg.dataset.stat_path:
             stats = load_stats(cfg.dataset.stat_path)
         raw_paths = cfg.dataset.test_paths or cfg.dataset.validation_paths
@@ -326,6 +328,13 @@ def cmd_export(args) -> int:
 def cmd_build_data(args) -> int:
     from .data import (DatasetStatsCalculator, build_dataset,
                        build_dataset_from_records, synthetic_records)
+    transform = None
+    if args.bf16_frontend:
+        import jax.numpy as jnp
+        from .ops import PhaseScattering1D
+        transform = PhaseScattering1D(J=args.J, Q=args.Q, T=args.T,
+                                      shape=args.len_signal, max_order=1,
+                                      correlation_dtype=jnp.bfloat16)
     if args.record_len:
         # long-record ingest: block each record into overlapping windows
         # (the reference ETL's base_block_size / 0.5-overlap contract)
@@ -333,12 +342,13 @@ def cmd_build_data(args) -> int:
             args.out,
             synthetic_records(args.records, args.record_len, seed=args.seed),
             J=args.J, Q=args.Q, T=args.T, window=args.len_signal,
-            overlap=args.overlap)
+            overlap=args.overlap, transform=transform)
     else:
         res = build_dataset(args.out, n_records=args.records,
                             windows_per_record=args.windows,
                             len_signal=args.len_signal, seed=args.seed,
-                            J=args.J, Q=args.Q, T=args.T)
+                            J=args.J, Q=args.Q, T=args.T,
+                            transform=transform)
     print(f"built {args.out}: {res}")
     if args.stats_out:
         calc = DatasetStatsCalculator(trim_minutes=args.trim_minutes)
@@ -415,6 +425,10 @@ def main(argv: Optional[list] = None) -> int:
     pe.add_argument("--root", default=None)
     pe.add_argument("--checkpoint", default=None)
     pe.add_argument("--num-samples", type=int, default=50)
+    pe.add_argument("--bf16-frontend", action="store_true",
+                    help="bf16 correlation stage in the recompute frontend "
+                         "(the bench/production throughput mode; coefficient "
+                         "error budget in BASELINE.md)")
     pe.add_argument("--with-scattering", action="store_true",
                     help="enable shift/gain analyses (on-device scattering)")
     pe.set_defaults(fn=cmd_test)
@@ -462,6 +476,9 @@ def main(argv: Optional[list] = None) -> int:
     pb.add_argument("--J", type=int, default=11)
     pb.add_argument("--Q", type=int, default=4)
     pb.add_argument("--T", type=int, default=16)
+    pb.add_argument("--bf16-frontend", action="store_true",
+                    help="bf16 correlation stage in the ETL frontend "
+                         "(throughput mode; default = exact fp32/HIGHEST)")
     pb.add_argument("--stats-out", default=None)
     pb.add_argument("--trim-minutes", type=float, default=2.0)
     pb.set_defaults(fn=cmd_build_data)

@@ -308,6 +308,12 @@ class PhaseScattering1D:
                                precision=sfft._PRECISION)
                     - jnp.matmul(ci, self._decim_LiT,
                                  precision=sfft._PRECISION))
+        if cr.dtype != self.dtype:
+            # correlation_dtype with decimation == 1: no dense operator
+            # exists, so the advertised single-pass MXU decimate does not
+            # apply — run the FFT fallback in full precision rather than
+            # letting bf16 operands promote implicitly inside the DFT.
+            cr, ci = cr.astype(self.dtype), ci.astype(self.dtype)
         dec = self.decimation
         cr = reflect_pad(cr, self.pad_left, self.pad_right)
         ci = reflect_pad(ci, self.pad_left, self.pad_right)
@@ -339,7 +345,15 @@ class PhaseScattering1D:
         return mag * jnp.cos(ph), mag * jnp.sin(ph)
 
     def _pair_correlation(self, ir, ii_, jr, ji, powers) -> jnp.ndarray:
+        """Accelerated conjugate products + low-pass/decimate for already-
+        gathered pair operands (the subset=None / all-pairs paths). Honors
+        `correlation_dtype` the same way `_banded_product` does: the polar
+        math stays fp32, only the pair-rate product tensors are cast."""
         ar, ai = self._accelerate(ir, ii_, powers[..., :, None])
+        if self.correlation_dtype is not None:
+            dt = self.correlation_dtype
+            ar, ai = ar.astype(dt), ai.astype(dt)
+            jr, ji = jr.astype(dt), ji.astype(dt)
         cr, ci = sfft.cmul_conj(ar, ai, jr, ji)
         return self._phi_decimate(cr, ci)
 
