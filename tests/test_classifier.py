@@ -114,6 +114,41 @@ def test_classifier_trainer_learns_labels(loss, cpu_mesh_devices):
     assert acc >= 0.75
 
 
+def test_joint_classifier_vae_finetune(cpu_mesh_devices):
+    """Joint mode (reference vae_teb_model.py:1440-1468): loss is
+    CE + vae_loss_weight*ELBO, and gradients flow into the (unfrozen) VAE."""
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices[:2])
+    cfg = ClassifierConfig(lr=1e-3, vae_loss_weight=0.1)
+    model = SeqVaeTebClassifier(classifier_depth=3, use_attention=False,
+                                classifier_filters=8, freeze_vae=False)
+    trainer = ClassifierTrainer(model, cfg, mesh=mesh)
+    rng = np.random.default_rng(2)
+    batch = make_batch(rng, b=4)
+    batch["fhr"] = rng.standard_normal((4, S * 16)).astype(np.float32)
+    state = trainer.init_state(batch)
+    vae_before = jax.device_get(state.params)["vae_model"]
+    state, m = trainer.train_step(state, batch)
+    # the weighted VAE term is in the loss
+    assert "vae_loss" in m and float(m["vae_loss"]) != 0.0
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        float(m["classification_loss"]) + 0.1 * float(m["vae_loss"]),
+        rtol=1e-5)
+    # and VAE params actually moved (grads flow through the unfrozen VAE)
+    vae_after = jax.device_get(state.params)["vae_model"]
+    deltas = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                          vae_before, vae_after)
+    assert max(jax.tree.leaves(deltas)) > 0.0
+
+
+def test_joint_mode_rejects_frozen_vae(cpu_mesh_devices):
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices[:1])
+    model = SeqVaeTebClassifier(classifier_depth=3, freeze_vae=True)
+    with pytest.raises(ValueError, match="freeze_vae"):
+        ClassifierTrainer(model, ClassifierConfig(vae_loss_weight=0.1),
+                          mesh=mesh)
+
+
 def test_classifier_vae_transfer(cpu_mesh_devices):
     """Pretrained VAE params must land inside the wrapper."""
     import jax.numpy as jnp

@@ -46,6 +46,15 @@ class ClassifierTrainer:
                  config: ClassifierConfig = ClassifierConfig(), mesh=None):
         self.model = model
         self.config = config
+        # joint fine-tuning (reference vae_teb_model.py:1440-1468: CE +
+        # 0.1*ELBO with the VAE unfrozen) — a weighted VAE term against a
+        # frozen VAE would silently train nothing, so reject the combination
+        self.joint = config.vae_loss_weight > 0
+        if self.joint and model.freeze_vae:
+            raise ValueError(
+                "vae_loss_weight > 0 requires SeqVaeTebClassifier("
+                "freeze_vae=False): the reference's joint mode fine-tunes "
+                "the VAE (vae_teb_model.py:1440-1468)")
         self.mesh = mesh if mesh is not None else data_parallel_mesh()
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.grad_clip_norm),
@@ -92,10 +101,10 @@ class ClassifierTrainer:
         return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
     def _build_train_step(self):
-        model, tx = self.model, self.tx
+        model, tx, cfg, joint = self.model, self.tx, self.config, self.joint
 
         @jax.jit
-        def step(state: TrainState, y_st, y_ph, x_ph, labels):
+        def step(state: TrainState, y_st, y_ph, x_ph, labels, y_raw):
             rng, k_sample, k_drop = jax.random.split(state.rng, 3)
 
             def loss_fn(params):
@@ -104,11 +113,21 @@ class ClassifierTrainer:
                     y_st, y_ph, x_ph, train=True,
                     rngs={"sample": k_sample, "dropout": k_drop},
                     mutable=["batch_stats"])
-                loss = self._loss(out["logits"], labels)
+                # the model's loss contract (CE + w*ELBO, reference
+                # vae_teb_model.py:1440-1468); LDAM swaps the CE term only
+                losses = SeqVaeTebClassifier.compute_loss(
+                    out, labels, y_st=y_st, y_ph=y_ph, y_raw=y_raw,
+                    compute_vae_loss=joint,
+                    vae_loss_weight=cfg.vae_loss_weight)
+                if cfg.loss == "ldam":
+                    cls = self._loss(out["logits"], labels)
+                    losses["classification_loss"] = cls
+                    losses["total_loss"] = (
+                        cls + cfg.vae_loss_weight * losses["vae_loss"])
                 acc = (out["predictions"] == labels).mean()
-                return loss, (acc, updates)
+                return losses["total_loss"], (losses, acc, updates)
 
-            (loss, (acc, updates)), grads = jax.value_and_grad(
+            (_, (losses, acc, updates)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             upd, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, upd)
@@ -116,7 +135,11 @@ class ClassifierTrainer:
                 step=state.step + 1, params=params,
                 batch_stats=updates.get("batch_stats", state.batch_stats),
                 opt_state=opt_state, rng=rng)
-            return new_state, {"loss": loss, "accuracy": acc}
+            metrics = {"loss": losses["total_loss"], "accuracy": acc,
+                       "classification_loss": losses["classification_loss"]}
+            if joint:
+                metrics["vae_loss"] = losses["vae_loss"]
+            return new_state, metrics
 
         return step
 
@@ -134,8 +157,9 @@ class ClassifierTrainer:
 
     def _put(self, batch):
         sh = batch_sharding(self.mesh)
-        out = {k: jax.device_put(np.asarray(batch[k]), sh)
-               for k in ("fhr_st", "fhr_ph", "fhr_up_ph")}
+        keys = ("fhr_st", "fhr_ph", "fhr_up_ph") + (
+            ("fhr",) if self.joint else ())
+        out = {k: jax.device_put(np.asarray(batch[k]), sh) for k in keys}
         if "label" in batch:
             out["label"] = jax.device_put(
                 np.asarray(batch["label"], np.int32), sh)
@@ -146,8 +170,11 @@ class ClassifierTrainer:
         lab = (b["label"] if labels is None
                else jax.device_put(np.asarray(labels, np.int32),
                                    batch_sharding(self.mesh)))
+        # y_raw feeds the joint VAE NLL term; a scalar placeholder keeps the
+        # jitted signature stable when the term is off (it is DCE'd).
+        y_raw = b["fhr"] if self.joint else jnp.zeros((), jnp.float32)
         return self._train_step(state, b["fhr_st"], b["fhr_ph"],
-                                b["fhr_up_ph"], lab)
+                                b["fhr_up_ph"], lab, y_raw)
 
     def predict(self, state, batch):
         b = self._put(batch)
