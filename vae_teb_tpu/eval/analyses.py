@@ -167,14 +167,13 @@ class ModelEvaluator:
             raise ValueError("shift/gain analyses need the scattering "
                              "frontend and fhr_up_ph normalization stats")
 
-    def _cross_phase_te(self, fhr_raw, up_variants, y_st, y_ph):
-        """Core recompute pipeline: (K, N) UP variants + one (N,) FHR trace
-        -> (K,) mean TE. Entirely on device, batched over K."""
+    def _cross_phase_te(self, fhr_b, up_variants, y_st_b, y_ph_b):
+        """Core recompute pipeline: (K, N) FHR traces + (K, N) UP variants
+        + (K, S, C) target coefficients -> (K,) mean TE. Entirely on
+        device, batched over K (which may flatten samples x variants)."""
         sc = self.scattering
         st = self.stats["fhr_up_ph"]
         trim = self.trim
-        k = up_variants.shape[0]
-        fhr_b = jnp.broadcast_to(fhr_raw[None, :], up_variants.shape)
         # channel 0 = FHR (acceleration source), 1 = UP: the production ETL
         # stacking (reference create_hdf5_dataset.py:420,433-437)
         x2 = jnp.stack([fhr_b, up_variants], axis=1)
@@ -187,50 +186,83 @@ class ModelEvaluator:
         coeffs = coeffs[:, trim:s_full - trim, :]
         # y_st / y_ph may arrive untrimmed (straight from an untrimmed
         # dataset, as the reference's raw_dataset does) — trim to match
-        if y_st.shape[0] == s_full:
-            y_st = y_st[trim:s_full - trim]
-            y_ph = y_ph[trim:s_full - trim]
-        y_st_b = jnp.broadcast_to(y_st[None], (k,) + y_st.shape)
-        y_ph_b = jnp.broadcast_to(y_ph[None], (k,) + y_ph.shape)
+        if y_st_b.shape[1] == s_full:
+            y_st_b = y_st_b[:, trim:s_full - trim]
+            y_ph_b = y_ph_b[:, trim:s_full - trim]
         te = self.model.apply(self.variables, y_st_b, y_ph_b, coeffs,
                               method=self.model.measure_transfer_entropy)
         return te.mean(axis=(1, 2))
 
     @partial(jax.jit, static_argnums=0)
     def _shift_te_jit(self, fhr_raw, up_raw, y_st, y_ph, shift_samples):
-        ups = jax.vmap(lambda s: jnp.roll(up_raw, s))(shift_samples)
-        return self._cross_phase_te(fhr_raw, ups, y_st, y_ph)
+        """One (M, N) batch of samples x (K,) shifts -> (M, K) TE in ONE
+        device program: the shift AND sample axes flatten into the leading
+        batch axis of the cross-phase transform (the reference recomputes
+        per (sample, shift) pair serially on the host,
+        graph_model.py:1210-1441)."""
+        ups = jax.vmap(lambda u: jax.vmap(
+            lambda s: jnp.roll(u, s))(shift_samples))(up_raw)   # (M, K, N)
+        return self._variants_te(fhr_raw, ups, y_st, y_ph)
 
     @partial(jax.jit, static_argnums=0)
     def _gain_te_jit(self, fhr_raw, up_raw, y_st, y_ph, gains):
-        ups = gains[:, None] * up_raw[None, :]
-        return self._cross_phase_te(fhr_raw, ups, y_st, y_ph)
+        """(M, N) samples x (K,) gains -> (M, K) TE, one device program."""
+        ups = gains[None, :, None] * up_raw[:, None, :]          # (M, K, N)
+        return self._variants_te(fhr_raw, ups, y_st, y_ph)
+
+    def _variants_te(self, fhr_raw, ups, y_st, y_ph):
+        """(M, N) raw traces + (M, K, N) UP variants -> (M, K) TE."""
+        m, k, n = ups.shape
+        fhr_b = jnp.broadcast_to(fhr_raw[:, None, :], ups.shape)
+        y_st_b = jnp.broadcast_to(y_st[:, None], (m, k) + y_st.shape[1:])
+        y_ph_b = jnp.broadcast_to(y_ph[:, None], (m, k) + y_ph.shape[1:])
+        te = self._cross_phase_te(
+            fhr_b.reshape(m * k, n), ups.reshape(m * k, n),
+            y_st_b.reshape((m * k,) + y_st.shape[1:]),
+            y_ph_b.reshape((m * k,) + y_ph.shape[1:]))
+        return te.reshape(m, k)
+
+    @staticmethod
+    def _as_sample_batch(fhr_raw, up_raw, y_st, y_ph):
+        """Promote single-sample (N,)/(S,C) inputs to a batch of one."""
+        fhr_raw, up_raw = jnp.asarray(fhr_raw), jnp.asarray(up_raw)
+        y_st, y_ph = jnp.asarray(y_st), jnp.asarray(y_ph)
+        single = fhr_raw.ndim == 1
+        if single:
+            fhr_raw, up_raw = fhr_raw[None], up_raw[None]
+            y_st, y_ph = y_st[None], y_ph[None]
+        return fhr_raw, up_raw, y_st, y_ph, single
 
     def te_shift_analysis(self, fhr_raw: np.ndarray, up_raw: np.ndarray,
                           y_st: np.ndarray, y_ph: np.ndarray,
                           shift_seconds: Sequence[int] = SHIFT_SECONDS_DEFAULT
                           ) -> Dict[str, np.ndarray]:
-        """TE vs circular UP shift for one sample. fhr_raw/up_raw are the
-        *untrimmed, unnormalized* raw traces; y_st/y_ph the normalized +
-        trimmed target coefficients (reference :1210-1441)."""
+        """TE vs circular UP shift. fhr_raw/up_raw are the *untrimmed,
+        unnormalized* raw traces — one sample (N,) or a batch (M, N);
+        y_st/y_ph the matching normalized target coefficients. Returns TE
+        of shape (K,) / (M, K). The whole (samples x shifts) grid is one
+        device program (reference :1210-1441 loops host-side per pair)."""
         self._require_recompute()
+        fhr_raw, up_raw, y_st, y_ph, single = self._as_sample_batch(
+            fhr_raw, up_raw, y_st, y_ph)
         shift_samples = jnp.asarray(
             [int(s * self.sample_rate_hz) for s in shift_seconds])
-        te = self._shift_te_jit(jnp.asarray(fhr_raw), jnp.asarray(up_raw),
-                                jnp.asarray(y_st), jnp.asarray(y_ph),
-                                shift_samples)
+        te = self._shift_te_jit(fhr_raw, up_raw, y_st, y_ph, shift_samples)
         return {"shift_seconds": np.asarray(shift_seconds),
-                "te": np.asarray(te)}
+                "te": np.asarray(te[0] if single else te)}
 
     def up_gain_sweep(self, fhr_raw, up_raw, y_st, y_ph,
                       gains: Sequence[float] = GAINS_DEFAULT
                       ) -> Dict[str, np.ndarray]:
-        """TE vs UP amplitude gain (reference :1779-1870)."""
+        """TE vs UP amplitude gain, single sample or (M, N) batch
+        (reference :1779-1870)."""
         self._require_recompute()
-        te = self._gain_te_jit(jnp.asarray(fhr_raw), jnp.asarray(up_raw),
-                               jnp.asarray(y_st), jnp.asarray(y_ph),
+        fhr_raw, up_raw, y_st, y_ph, single = self._as_sample_batch(
+            fhr_raw, up_raw, y_st, y_ph)
+        te = self._gain_te_jit(fhr_raw, up_raw, y_st, y_ph,
                                jnp.asarray(gains, jnp.float32))
-        return {"gains": np.asarray(gains), "te": np.asarray(te)}
+        return {"gains": np.asarray(gains),
+                "te": np.asarray(te[0] if single else te)}
 
     # -- ablation ---------------------------------------------------------------
 

@@ -24,12 +24,14 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
                          raw_dataset: Optional[CombinedHDF5Dataset] = None,
                          num_samples: int = 50,
                          batch_size: int = 4,
-                         shift_samples: int = 4,
+                         shift_samples: int = 50,
                          shift_seconds: Sequence[int] = SHIFT_SECONDS_DEFAULT,
                          gains: Sequence[float] = GAINS_DEFAULT,
                          seed: int = 0,
                          run_shift_analysis: bool = True,
-                         run_gain_sweep: bool = True) -> Dict:
+                         run_gain_sweep: bool = True,
+                         plot_samples: Optional[int] = None,
+                         recompute_chunk: int = 4) -> Dict:
     """Run every analysis and write artifacts under out_dir.
 
     `dataset`: trimmed + normalized, drives metrics/ablation/plots.
@@ -37,6 +39,15 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
     (unnormalized) fhr/up — drives the shift/gain analyses, which recompute
     scattering from the raw traces and trim inside the device program
     (the reference uses the same two-dataset split, :1253-1276).
+
+    Defaults match the reference's full battery — 50 preselected samples
+    for the per-sample plots AND the shift/gain recompute analyses
+    (graph_model.py:953-975,1210-1441; it runs them serially on the host,
+    here each `recompute_chunk` of samples x all shifts is ONE device
+    program, so the 50-sample battery costs ~13 device calls, not 3050
+    host scattering recomputes). `plot_samples=None` plots every selected
+    sample; `recompute_chunk` bounds device memory at
+    chunk * len(shift_seconds) scattering windows per program.
     """
     os.makedirs(out_dir, exist_ok=True)
     results: Dict = {}
@@ -59,8 +70,11 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
     results["selected_indices"] = sample_ids
 
     def batches():
+        # read_batch: batched hyperslab reads + batch-granular normalize,
+        # ~7x the per-sample collate path (benchmarks/loader_bench.py) —
+        # exactly where a 50-sample battery feels it
         for start in range(0, n, batch_size):
-            yield dataset.collate(sample_ids[start:start + batch_size])
+            yield dataset.read_batch(sample_ids[start:start + batch_size])
 
     # 2) metrics histograms + pickle (reference :1510-1680)
     metrics = evaluator.reconstruction_analysis(
@@ -87,7 +101,8 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
             os.path.join(out_dir, f"reconstruction_{guid}_{k}.png"),
             title=f"guid={guid}")
 
-    for k in sample_ids[:min(4, n)]:
+    n_plot = n if plot_samples is None else min(plot_samples, n)
+    for k in sample_ids[:n_plot]:
         _guarded("analysis_plot", int(k), lambda k=k: _analysis_plots(k))
 
     # 4) UP ablation (reference :1682-1777)
@@ -96,54 +111,60 @@ def run_evaluation_suite(evaluator: ModelEvaluator,
         ablation, os.path.join(out_dir, "up_ablation.png"))
     results["ablation"] = ablation
 
-    # 5) TE vs shift, per sample (reference :1210-1441)
-    if run_shift_analysis and evaluator.scattering is not None \
-            and raw_dataset is not None:
-        shift_results = []
+    # 5/6) TE-vs-shift + UP gain sweep over the preselected samples,
+    # chunk-batched on device (reference :1210-1441, :1779-1870)
+    recompute = evaluator.scattering is not None and raw_dataset is not None
+    if recompute:
         n_raw = len(raw_dataset)
+        rc_ids = [int(k) for k in sample_ids[:shift_samples]
+                  if int(k) < n_raw]
+        chunks = [rc_ids[s:s + recompute_chunk]
+                  for s in range(0, len(rc_ids), recompute_chunk)]
 
-        def _one_shift(k: int):
-            s = raw_dataset[int(k)]
-            res = evaluator.te_shift_analysis(
-                s["fhr"], s["up"], s["fhr_st"], s["fhr_ph"],
-                shift_seconds=shift_seconds)
-            shift_results.append(res["te"])
-            plots.plot_transfer_entropy_vs_shift(
-                res["shift_seconds"], res["te"],
-                os.path.join(out_dir, f"te_shift_{k}.png"),
-                title=f"sample {k}")
-
-        for k in sample_ids[:shift_samples]:
-            if int(k) >= n_raw:
-                continue
-            _guarded("te_shift", int(k), lambda k=k: _one_shift(k))
-        if shift_results:
+    if run_shift_analysis and recompute:
+        shift_te, shift_ids = [], []
+        for chunk in chunks:
+            def _chunk_shift(chunk=chunk):
+                b = raw_dataset.read_batch(chunk)
+                return evaluator.te_shift_analysis(
+                    b["fhr"], b["up"], b["fhr_st"], b["fhr_ph"],
+                    shift_seconds=shift_seconds)["te"]        # (M, K)
+            te = _guarded("te_shift", chunk, _chunk_shift)
+            if te is not None:
+                shift_te.append(te)
+                shift_ids.extend(chunk)
+        if shift_te:
+            te_all = np.concatenate(shift_te, axis=0)
+            for row, k in zip(te_all[:n_plot], shift_ids):
+                plots.plot_transfer_entropy_vs_shift(
+                    np.asarray(shift_seconds), row,
+                    os.path.join(out_dir, f"te_shift_{k}.png"),
+                    title=f"sample {k}")
             results["te_shift"] = {
                 "shift_seconds": np.asarray(shift_seconds),
-                "te": np.stack(shift_results)}
+                "sample_indices": np.asarray(shift_ids),
+                "te": te_all}
 
-    # 6) UP gain sweep (reference :1779-1870)
-    if run_gain_sweep and evaluator.scattering is not None \
-            and raw_dataset is not None:
-        gain_results = []
-        n_raw = len(raw_dataset)
-
-        def _one_gain(k: int):
-            s = raw_dataset[int(k)]
-            res = evaluator.up_gain_sweep(s["fhr"], s["up"], s["fhr_st"],
-                                          s["fhr_ph"], gains=gains)
-            gain_results.append(res["te"])
-
-        for k in sample_ids[:shift_samples]:
-            if int(k) >= n_raw:
-                continue
-            _guarded("gain_sweep", int(k), lambda k=k: _one_gain(k))
-        if gain_results:
-            te_all = np.stack(gain_results)
+    if run_gain_sweep and recompute:
+        gain_te, gain_ids = [], []
+        for chunk in chunks:
+            def _chunk_gain(chunk=chunk):
+                b = raw_dataset.read_batch(chunk)
+                return evaluator.up_gain_sweep(
+                    b["fhr"], b["up"], b["fhr_st"], b["fhr_ph"],
+                    gains=gains)["te"]                        # (M, K)
+            te = _guarded("gain_sweep", chunk, _chunk_gain)
+            if te is not None:
+                gain_te.append(te)
+                gain_ids.extend(chunk)
+        if gain_te:
+            te_all = np.concatenate(gain_te, axis=0)
             plots.plot_te_gain_sweep(
                 np.asarray(gains), te_all,
                 os.path.join(out_dir, "te_gain_sweep.png"))
-            results["gain_sweep"] = {"gains": np.asarray(gains), "te": te_all}
+            results["gain_sweep"] = {"gains": np.asarray(gains),
+                                     "sample_indices": np.asarray(gain_ids),
+                                     "te": te_all}
 
     # 7) scattering-domain acceptance battery (reference seqvae_mse_test,
     # predict_st graph_model.py:948-1113): coefficient-domain accuracy of
