@@ -202,6 +202,45 @@ def test_lstm_wavefront_matches_stacked(wf_schedule):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_lstm_wavefront_pallas_sharded_grads(cpu_mesh_devices):
+    """wavefront_pallas on a >1-device mesh: the kernels run per batch
+    shard under shard_map (wavefront_pallas._batch_mesh reads the abstract
+    mesh off the traced avals), and the result — outputs AND every grad
+    leaf — must match the XLA wavefront on the same sharded inputs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vae_teb_tpu.models.blocks import LSTMStream, run_lstm_streams
+
+    B, S, H = 8, 9, 8
+    mesh = Mesh(np.array(cpu_mesh_devices), ("data",))
+    r = np.random.default_rng(5)
+    f32 = lambda *s: jnp.asarray(r.standard_normal(s).astype(np.float32))
+    w_ih = [f32(H if l else 12, 4 * H) * 0.3 for l in range(3)]
+    w_hh = [f32(H, 4 * H) * 0.3 for _ in range(3)]
+    b = [f32(4 * H) * 0.1 for _ in range(3)]
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    xp = jax.device_put(f32(B, S, 4 * H), batch_sh)
+    init = (tuple(jax.device_put(f32(B, H) * 0.2, batch_sh) for _ in range(3)),
+            tuple(jax.device_put(f32(B, H) * 0.2, batch_sh) for _ in range(3)))
+    weights = jax.device_put((w_ih, w_hh, b), rep)
+
+    def run(schedule):
+        def loss_fn(leaves, xp):
+            w_ih, w_hh, b = leaves
+            st = LSTMStream(xp, list(w_ih), list(w_hh), list(b), init)
+            (y, (hf, cf)), = run_lstm_streams([st], unroll=4,
+                                              schedule=schedule)
+            return jnp.sum(y ** 2) + 0.5 * jnp.sum(hf) + 0.2 * jnp.sum(cf)
+        return jax.jit(jax.value_and_grad(loss_fn))(weights, xp)
+
+    v_x, g_x = run("wavefront")
+    v_p, g_p = run("wavefront_pallas")
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-6)
+    for a, p in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_lstm_forget_bias_init():
     with jax.default_device(CPU):
         m = LSTM(hidden_size=4, num_layers=1)

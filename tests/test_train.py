@@ -740,15 +740,14 @@ def test_config_yaml_roundtrip(tmp_path):
     assert os.path.isdir(os.path.join(d, "model_checkpoints"))
 
 
-def test_pallas_schedule_rejected_on_multi_device_mesh(cpu_mesh_devices):
-    """lstm_schedule='wavefront_pallas' is single-chip only: a pallas call
-    is opaque to GSPMD, so a >1-device mesh must fail loudly at Trainer
-    construction instead of silently gathering the batch (trainer.py
-    guard; BASELINE.md round-3 pallas section)."""
+def test_pallas_schedule_accepted_on_multi_device_mesh(cpu_mesh_devices):
+    """lstm_schedule='wavefront_pallas' is multi-chip capable since round
+    4: the batch-parallel kernels run per-shard under shard_map, so
+    Trainer construction must accept >1-device meshes (grad parity on the
+    sharded case: test_models.test_lstm_wavefront_pallas_sharded_grads;
+    full-model multi-device step: __graft_entry__._dryrun_body)."""
     mesh = data_parallel_mesh(devices=cpu_mesh_devices)
     model = SeqVaeTeb(lstm_schedule="wavefront_pallas")
-    with pytest.raises(ValueError, match="single-chip only"):
-        Trainer(model, TrainerConfig(), mesh=mesh)
-    # a single-device mesh accepts it
+    Trainer(model, TrainerConfig(), mesh=mesh)
     single = data_parallel_mesh(devices=cpu_mesh_devices[:1])
     Trainer(model, TrainerConfig(), mesh=single)

@@ -39,6 +39,39 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _batch_mesh(x, batch: int):
+    """(mesh, data-axis name) to shard_map the recurrence over, or
+    (None, None) to run unwrapped (single device).
+
+    A compiled pallas call is an opaque custom call to the GSPMD/Shardy
+    partitioner, so on a >1-device mesh the whole recurrence must be
+    wrapped in `shard_map` over the batch axis — the kernel is purely
+    batch-parallel (the carry, gate inputs, and outputs all broadcast
+    over B; only W_eff/bias are shared, and they are replicated). The
+    mesh is read off the traced aval at trace time (`aval.sharding.mesh`
+    carries the abstract mesh inside jit even in Auto sharding mode), so
+    no mesh handle has to be threaded through the model."""
+    sh = getattr(getattr(x, "aval", None), "sharding", None)
+    mesh = getattr(sh, "mesh", None)
+    if mesh is None or getattr(mesh, "empty", True) or mesh.size <= 1:
+        return None, None
+    names = mesh.axis_names
+    if "data" in names:
+        axis = "data"
+    elif len(names) == 1:
+        axis = names[0]
+    else:
+        raise ValueError(
+            "wavefront_pallas on a multi-axis mesh without a 'data' axis: "
+            f"cannot infer the batch-sharded axis from {names}")
+    n = dict(mesh.shape)[axis]
+    if n > 1 and batch % n:
+        raise ValueError(
+            f"wavefront_pallas: batch {batch} not divisible by mesh axis "
+            f"'{axis}' ({n} devices)")
+    return mesh, axis
+
+
 def _lvec_cols(lvec: np.ndarray, H: int) -> jnp.ndarray:
     """(1, U*H) int32: each unit's layer index repeated over its h lanes."""
     return jnp.asarray(np.repeat(lvec, H)[None, :], jnp.int32)
@@ -83,7 +116,29 @@ def wavefront_scan_pallas(W_eff, b_packed, xs_wave, h0, c0, lvec,
                           S: int, with_residuals: bool):
     """Forward wavefront as one pallas program. Same contract as
     blocks._wavefront_scan: ((h_fin, c_fin), h_seq) or
-    ((h_fin, c_fin), (gates_seq, h_seq, c_seq))."""
+    ((h_fin, c_fin), (gates_seq, h_seq, c_seq)). On a >1-device mesh the
+    program runs per batch shard under shard_map (see _batch_mesh)."""
+    from jax.sharding import PartitionSpec as P
+    mesh, ax = _batch_mesh(xs_wave, xs_wave.shape[1])
+    if mesh is not None:
+        fn = functools.partial(_wavefront_scan_pallas_local, lvec=lvec, S=S,
+                               with_residuals=with_residuals)
+        seq_sp = P(None, ax, None)
+        fin_sp = P(ax, None)
+        out_specs = ((fin_sp, fin_sp),
+                     (seq_sp, seq_sp, seq_sp) if with_residuals else seq_sp)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, None), P(None), seq_sp, fin_sp, fin_sp),
+            out_specs=out_specs, check_vma=False,
+        )(W_eff, b_packed, xs_wave, h0, c0)
+    return _wavefront_scan_pallas_local(W_eff, b_packed, xs_wave, h0, c0,
+                                        lvec=lvec, S=S,
+                                        with_residuals=with_residuals)
+
+
+def _wavefront_scan_pallas_local(W_eff, b_packed, xs_wave, h0, c0, *, lvec,
+                                 S: int, with_residuals: bool):
     K, B, G = xs_wave.shape  # G = 4*U*H
     UH = G // 4
     dtype = xs_wave.dtype
@@ -175,7 +230,28 @@ def wavefront_bwd_pallas(W_eff, gates_seq, c_seq, c_prev_seq, dY,
                          dh0, dc0, lvec, S: int):
     """Reverse wavefront as one pallas program. Returns
     ((dh_fin, dc_fin), dgates_seq) — the same values as the lax.scan
-    reverse body in blocks._wavefront_core_bwd."""
+    reverse body in blocks._wavefront_core_bwd. Multi-device meshes run
+    per batch shard under shard_map (see _batch_mesh); the weight grads
+    are computed OUTSIDE this call from dgates_seq, so the cross-shard
+    reduction stays in GSPMD-land as an ordinary sharded matmul."""
+    from jax.sharding import PartitionSpec as P
+    mesh, ax = _batch_mesh(gates_seq, gates_seq.shape[1])
+    if mesh is not None:
+        fn = functools.partial(_wavefront_bwd_pallas_local, lvec=lvec, S=S)
+        seq_sp = P(None, ax, None)
+        fin_sp = P(ax, None)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, None), seq_sp, seq_sp, seq_sp, seq_sp,
+                      fin_sp, fin_sp),
+            out_specs=((fin_sp, fin_sp), seq_sp), check_vma=False,
+        )(W_eff, gates_seq, c_seq, c_prev_seq, dY, dh0, dc0)
+    return _wavefront_bwd_pallas_local(W_eff, gates_seq, c_seq, c_prev_seq,
+                                       dY, dh0, dc0, lvec=lvec, S=S)
+
+
+def _wavefront_bwd_pallas_local(W_eff, gates_seq, c_seq, c_prev_seq, dY,
+                                dh0, dc0, *, lvec, S: int):
     K, B, G = gates_seq.shape
     UH = G // 4
     dtype = gates_seq.dtype

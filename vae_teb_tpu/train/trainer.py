@@ -116,19 +116,11 @@ class Trainer:
         self.config = config
         self.normalize_stats = normalize_stats
         self.mesh = mesh if mesh is not None else data_parallel_mesh()
-        # The pallas wavefront kernels are single-chip only: a pallas call
-        # is an opaque custom call to GSPMD, so on a >1-device mesh the
-        # partitioner would gather the full batch onto every device (or
-        # fail to lower) instead of sharding the recurrence. Fail loudly
-        # here rather than silently de-scaling a production run; multi-chip
-        # meshes use the XLA wavefront (same schedule, same numerics —
-        # BASELINE.md round-3 table).
-        if (getattr(model, "lstm_schedule", None) == "wavefront_pallas"
-                and self.mesh.devices.size > 1):
-            raise ValueError(
-                "lstm_schedule='wavefront_pallas' is single-chip only "
-                f"(mesh has {self.mesh.devices.size} devices); use "
-                "lstm_schedule='wavefront' for multi-device meshes")
+        # lstm_schedule="wavefront_pallas" is multi-chip capable: the
+        # kernels are batch-parallel, so on a >1-device mesh they run
+        # per-shard under shard_map over the 'data' axis (the pallas call
+        # itself is opaque to GSPMD — see wavefront_pallas._batch_mesh);
+        # weight grads stay in GSPMD-land as ordinary sharded matmuls.
         lr = (cosine_warm_restarts(config.lr, config.lr_t0_steps)
               if config.lr_t0_steps > 0 else config.lr)
         self.tx = tx if tx is not None else make_optimizer(
