@@ -33,6 +33,7 @@ def _make_model(cfg):
                      n_scattering=m.n_scattering, n_phase=m.n_phase,
                      decimation_factor=m.decimation_factor,
                      warmup_period=m.warmup_period,
+                     lstm_schedule=m.lstm_schedule,
                      dtype=cfg.trainer.model_dtype())
 
 

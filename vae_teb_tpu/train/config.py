@@ -33,6 +33,12 @@ class ModelConfig:
     warmup_period: int = 30
     freeze_vae: bool = True
     zero_source: bool = False
+    # LSTM recurrence schedule: "stacked" (lowest batch-1 latency),
+    # "wavefront" (XLA staircase, the multi-chip-safe default), or
+    # "wavefront_pallas" (single pallas program per recurrence — the
+    # bench/production throughput default; multi-chip capable via
+    # shard_map, see models/wavefront_pallas.py)
+    lstm_schedule: str = "wavefront"
 
 
 @dataclass

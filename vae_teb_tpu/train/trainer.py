@@ -79,6 +79,14 @@ class TrainerConfig:
     # tests) re-step from a saved state object. Production entry points
     # (cli train, bench, dryrun) turn it on.
     donate_state: bool = False
+    # stage this many batches ahead onto the device(s) from a background
+    # thread (data.prefetch_to_device): host reads/normalize + the
+    # device_put transfer overlap device compute instead of serializing
+    # into every step (the reference's pinned-memory + prefetch_factor
+    # DataLoader setting, hdf5_dataset.py:688-704). 0 disables.
+    # Single-process only: multihost batches assemble per-process slices
+    # through make_array_from_process_local_data in _put instead.
+    prefetch: int = 2
 
     def model_dtype(self):
         import jax.numpy as jnp
@@ -282,7 +290,11 @@ class Trainer:
             return {k: jax.make_array_from_process_local_data(
                         sh, np.asarray(batch[k]))
                     for k in ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr")}
-        return {k: jax.device_put(np.asarray(batch[k]), sh)
+        # prefetched batches arrive as jax Arrays already in the target
+        # sharding — device_put passes them through; np.asarray would drag
+        # them back to host, so only coerce host-side data
+        return {k: jax.device_put(batch[k] if isinstance(batch[k], jax.Array)
+                                  else np.asarray(batch[k]), sh)
                 for k in ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr")}
 
     def train_step(self, state: TrainState, batch, beta: float):
@@ -323,12 +335,24 @@ class Trainer:
             beta = self._beta_fn(epoch)
             t0 = time.time()
             train_metrics = []
-            for i, batch in enumerate(train_batches(epoch)):
+            n_windows = 0
+            batches = train_batches(epoch)
+            if cfg.prefetch > 0 and jax.process_count() == 1:
+                # background thread stages device transfers ahead; _put
+                # passes already-placed arrays through untouched
+                from ..data.dataset import prefetch_to_device
+                batches = prefetch_to_device(
+                    batches, size=cfg.prefetch,
+                    sharding=batch_sharding(self.mesh),
+                    array_fields=("fhr_st", "fhr_ph", "fhr_up_ph", "fhr"))
+            for i, batch in enumerate(batches):
+                n_windows += int(np.shape(batch["fhr"])[0])
                 state, metrics = self.train_step(state, batch, beta)
                 train_metrics.append(metrics)
             train_avg = {k: float(np.mean([m[k] for m in train_metrics]))
                          for k in train_metrics[0]} if train_metrics else {}
             epoch_time = time.time() - t0
+            win_rate = n_windows / epoch_time if epoch_time > 0 else 0.0
 
             val_avg = {}
             if val_batches is not None:
@@ -340,6 +364,7 @@ class Trainer:
             self.history.setdefault("epoch", []).append(epoch)
             self.history.setdefault("beta", []).append(beta)
             self.history.setdefault("epoch_time", []).append(epoch_time)
+            self.history.setdefault("windows_per_sec", []).append(win_rate)
             for k, v in train_avg.items():
                 self.history.setdefault(f"train/{k}", []).append(v)
             for k, v in val_avg.items():
@@ -348,7 +373,8 @@ class Trainer:
             log_fn(f"epoch {epoch}: "
                    f"train {train_avg.get('total_loss', float('nan')):.4f} "
                    f"val {val_avg.get('total_loss', float('nan')):.4f} "
-                   f"beta {beta:.2e} ({epoch_time:.1f}s)")
+                   f"beta {beta:.2e} ({epoch_time:.1f}s, "
+                   f"{win_rate:.0f} win/s)")
 
             monitored = val_avg.get("total_loss",
                                     train_avg.get("total_loss", float("inf")))
