@@ -85,8 +85,15 @@ def main():
     # --fp32-frontend A/Bs the exact fp32/HIGHEST frontend back in.
     corr_dtype = (jnp.bfloat16 if precision == "bf16"
                   and "--fp32-frontend" not in sys.argv else None)
+    # --reduced-frontend: reduced-rate pipeline (ops.phase_reduced) — every
+    # selected pair's band synthesis / polar / product runs at its lowest
+    # alias-safe rate. Error sits INSIDE the fp32 implementation spread vs
+    # the float64 oracle (2.2e-2 vs the torch reference's 3.3e-2,
+    # test_reduced_rate_oracle_acceptance); opt-in pending the on-chip A/B.
+    reduced = "--reduced-frontend" in sys.argv
     sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1,
-                           correlation_dtype=corr_dtype)
+                           correlation_dtype=corr_dtype,
+                           reduced_rate=reduced)
     sel = sc.optimal_fhr_selection()
     phase_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
     cross_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
@@ -271,7 +278,8 @@ def main():
         "hbm_util": round(hbm_util, 4) if hbm_util is not None else None,
         "batch_size": B,
         "precision": precision,
-        "frontend": "bf16-corr" if corr_dtype is not None else "fp32",
+        "frontend": (("reduced+" if reduced else "")
+                     + ("bf16-corr" if corr_dtype is not None else "fp32")),
         "lstm_schedule": schedule,
     }))
 

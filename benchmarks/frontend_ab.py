@@ -33,9 +33,14 @@ def main():
     fhr = jnp.asarray(rng_np.standard_normal((B, N)).astype(np.float32))
     up = jnp.asarray(rng_np.standard_normal((B, N)).astype(np.float32))
 
-    for label, cdt in (("fp32/HIGHEST", None), ("bf16-corr", jnp.bfloat16)):
+    configs = [("fp32/HIGHEST", None, False), ("bf16-corr", jnp.bfloat16, False)]
+    if "--reduced" in sys.argv:
+        configs = [("bf16-corr", jnp.bfloat16, False),
+                   ("reduced", None, True),
+                   ("reduced+bf16", jnp.bfloat16, True)]
+    for label, cdt, rr in configs:
         sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1,
-                               correlation_dtype=cdt)
+                               correlation_dtype=cdt, reduced_rate=rr)
         sel = sc.optimal_fhr_selection()
         p_idx = tuple(int(i) for i in
                       sel["phase_selection"]["selected_indices"])

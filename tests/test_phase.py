@@ -283,3 +283,100 @@ def test_bf16_correlation_fft_fallback_casts_back():
     assert got.shape == want.shape
     rel = np.linalg.norm(want - got) / np.linalg.norm(want)
     assert rel < 2e-3, rel
+
+
+def test_reduced_rate_matches_exact_small():
+    """Reduced-rate pipeline (ops.phase_reduced): the phase family's
+    integer acceleration powers make it branch-insensitive, so reduced
+    must track the exact path tightly; scattering is untouched. Cross has
+    non-integer powers (branch-sensitive wrap discontinuities alias at
+    reduced rate) — its acceptance is oracle-relative, see
+    test_reduced_rate_oracle_acceptance."""
+    kw = dict(J=6, Q=2, T=8, shape=1024, max_order=1)
+    m = PhaseScattering1D(**kw)
+    r = PhaseScattering1D(**kw, reduced_rate=True)
+    sel = m.optimal_fhr_selection()
+    p_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
+    c_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 2, 1024)).astype(np.float32))
+    a = m.analyze(x[:, 0], x[:, 1], phase_subset=p_idx, cross_subset=c_idx)
+    b = r.analyze(x[:, 0], x[:, 1], phase_subset=p_idx, cross_subset=c_idx)
+    np.testing.assert_array_equal(np.asarray(a["scattering"]),
+                                  np.asarray(b["scattering"]))
+    pa, pb = np.asarray(a["phase_corr"]), np.asarray(b["phase_corr"])
+    rel = np.linalg.norm(pa - pb) / np.linalg.norm(pa)
+    assert rel < 1e-4, rel
+    # cross: loose sanity here (white noise is the worst case for phase
+    # wraps); the real acceptance bar is the production-fixture oracle test
+    ca, cb = np.asarray(a["cross_phase_corr"]), np.asarray(b["cross_phase_corr"])
+    relc = np.linalg.norm(ca - cb) / np.linalg.norm(ca)
+    assert relc < 5e-2, relc
+    # the _forward subset paths dispatch to the same plan
+    f = r(x, compute_phase=True, compute_cross_phase=True,
+          phase_subset=p_idx, cross_subset=c_idx, compute_scattering=False)
+    np.testing.assert_allclose(np.asarray(f["phase_corr"]), pb, rtol=0,
+                               atol=1e-5 * np.abs(pb).max())
+    np.testing.assert_allclose(np.asarray(f["cross_phase_corr"]), cb,
+                               rtol=0, atol=1e-5 * np.abs(cb).max())
+
+
+def _fp64_phase_oracle(m, x64, idx, cross):
+    """Float64 NumPy oracle of the banded accelerated-correlation chain
+    (pad -> band -> principal-branch acceleration -> conjugate product ->
+    phi low-pass -> decimate), the yardstick in this module's header."""
+    from vae_teb_tpu.ops.scattering import reflect_pad
+    N, Npad, pl = m.N, m.N_padded, m.pad_left
+    psi = np.asarray(m.fb.psi1, np.float64)
+    phi = np.asarray(m.fb.phi_levels[0], np.float64)
+    ramp = np.arange(N, dtype=np.float64)
+    idxp = np.rint(np.asarray(reflect_pad(jnp.asarray(ramp), m.pad_left,
+                                          m.pad_right))).astype(int)
+    pad64 = lambda v: v[..., idxp]
+
+    def bands(sig, rows):
+        X = np.fft.fft(pad64(sig))
+        return np.fft.ifft(X[:, None, :] * psi[rows])[..., pl:pl + N]
+
+    ii, jj = m.pairs.i_idx[list(idx)], m.pairs.j_idx[list(idx)]
+    pw = np.asarray(m.pairs.powers[list(idx)], np.float64)
+    zi_ = bands(x64[:, 0], ii)
+    zj_ = bands(x64[:, 1] if cross else x64[:, 0], jj)
+    a = np.abs(zi_) * np.exp(1j * pw[None, :, None] * np.angle(zi_))
+    P = np.fft.fft(pad64(a * np.conj(zj_)))
+    keep = Npad // m.decimation
+    s = np.fft.ifft(P[..., :keep] * phi[:keep]).real
+    start = pl // m.decimation
+    n_out = min(start + N // m.decimation, keep) - start
+    return s[..., start:start + n_out]
+
+
+@pytest.mark.slow
+def test_reduced_rate_oracle_acceptance(golden_loader):
+    """Production-shape acceptance for the reduced-rate pipeline, by this
+    module's established criterion: no further from the float64 oracle
+    than the torch fp32 reference is (torch_vs_oracle 3.3e-2 on the prod
+    fixtures). Measured 2026-08-19 on the prod_cross windows: exact-fp32
+    1.8e-3, reduced 2.2e-2 — reduced sits INSIDE the fp32 implementation
+    spread. Phase family (integer powers): reduced 4.1e-5."""
+    g = golden_loader("prod_cross")
+    kw = dict(J=int(g["J"]), Q=int(g["Q"]), T=int(g["T"]), shape=int(g["N"]),
+              max_order=int(g["max_order"]))
+    m = PhaseScattering1D(**kw)
+    r = PhaseScattering1D(**kw, reduced_rate=True)
+    sel = m.optimal_fhr_selection()
+    p_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
+    c_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
+    x64 = np.asarray(g["x"], np.float64)
+    ref_p = _fp64_phase_oracle(m, x64, p_idx, cross=False)
+    ref_c = _fp64_phase_oracle(m, x64, c_idx, cross=True)
+    xj = jnp.asarray(x64.astype(np.float32))
+    out = r.analyze(xj[:, 0], xj[:, 1], phase_subset=p_idx,
+                    cross_subset=c_idx)
+    rel_p = (np.linalg.norm(np.asarray(out["phase_corr"], np.float64) - ref_p)
+             / np.linalg.norm(ref_p))
+    rel_c = (np.linalg.norm(
+        np.asarray(out["cross_phase_corr"], np.float64) - ref_c)
+        / np.linalg.norm(ref_c))
+    assert rel_p < 5e-4, rel_p
+    assert rel_c < 3.3e-2, rel_c   # the torch-reference-vs-oracle bar

@@ -253,7 +253,8 @@ def cmd_test(args) -> int:
         import jax.numpy as jnp
         scattering = PhaseScattering1D(
             J=11, Q=4, T=16, shape=5760, max_order=1,
-            correlation_dtype=jnp.bfloat16 if args.bf16_frontend else None)
+            correlation_dtype=jnp.bfloat16 if args.bf16_frontend else None,
+            reduced_rate=args.reduced_frontend)
         if cfg.dataset.stat_path:
             stats = load_stats(cfg.dataset.stat_path)
         raw_paths = cfg.dataset.test_paths or cfg.dataset.validation_paths
@@ -330,12 +331,13 @@ def cmd_build_data(args) -> int:
     from .data import (DatasetStatsCalculator, build_dataset,
                        build_dataset_from_records, synthetic_records)
     transform = None
-    if args.bf16_frontend:
+    if args.bf16_frontend or args.reduced_frontend:
         import jax.numpy as jnp
         from .ops import PhaseScattering1D
-        transform = PhaseScattering1D(J=args.J, Q=args.Q, T=args.T,
-                                      shape=args.len_signal, max_order=1,
-                                      correlation_dtype=jnp.bfloat16)
+        transform = PhaseScattering1D(
+            J=args.J, Q=args.Q, T=args.T, shape=args.len_signal, max_order=1,
+            correlation_dtype=jnp.bfloat16 if args.bf16_frontend else None,
+            reduced_rate=args.reduced_frontend)
     if args.record_len:
         # long-record ingest: block each record into overlapping windows
         # (the reference ETL's base_block_size / 0.5-overlap contract)
@@ -430,6 +432,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="bf16 correlation stage in the recompute frontend "
                          "(the bench/production throughput mode; coefficient "
                          "error budget in BASELINE.md)")
+    pe.add_argument("--reduced-frontend", action="store_true",
+                    help="reduced-rate pair pipeline (ops.phase_reduced; "
+                         "error inside the fp32 implementation spread vs "
+                         "the fp64 oracle)")
     pe.add_argument("--with-scattering", action="store_true",
                     help="enable shift/gain analyses (on-device scattering)")
     pe.set_defaults(fn=cmd_test)
@@ -480,6 +486,9 @@ def main(argv: Optional[list] = None) -> int:
     pb.add_argument("--bf16-frontend", action="store_true",
                     help="bf16 correlation stage in the ETL frontend "
                          "(throughput mode; default = exact fp32/HIGHEST)")
+    pb.add_argument("--reduced-frontend", action="store_true",
+                    help="reduced-rate pair pipeline in the ETL frontend "
+                         "(throughput mode, oracle-bounded error)")
     pb.add_argument("--stats-out", default=None)
     pb.add_argument("--trim-minutes", type=float, default=2.0)
     pb.set_defaults(fn=cmd_build_data)

@@ -48,6 +48,19 @@ def _build_phi_decimation_operator(n: int, pad_left: int, pad_right: int,
     runtime `reflect_pad` on an index ramp, so the padding semantics are
     identical by construction.
     """
+    lt_src = _build_phi_decimation_operator_c128(
+        n, pad_left, pad_right, n_padded, phi_f, dec)
+    return (np.ascontiguousarray(lt_src.real).astype(np.float32),
+            np.ascontiguousarray(lt_src.imag).astype(np.float32))
+
+
+def _build_phi_decimation_operator_c128(n: int, pad_left: int,
+                                        pad_right: int, n_padded: int,
+                                        phi_f: np.ndarray, dec: int
+                                        ) -> np.ndarray:
+    """Float64/complex128 source matrix of the phi-decimation operator
+    (see _build_phi_decimation_operator). Also composed with the
+    reduced-rate reconstruction in ops.phase_reduced."""
     cache_key = (n, pad_left, pad_right, n_padded, dec,
                  hash(phi_f[:n_padded // dec].tobytes()))
     hit = _DECIM_OP_CACHE.get(cache_key)
@@ -71,10 +84,8 @@ def _build_phi_decimation_operator(n: int, pad_left: int, pad_right: int,
     l_pad = l_pad[start:start + n_out]
     lt_src = np.zeros((n, n_out), np.complex128)
     np.add.at(lt_src, idx, l_pad.T)                          # fold padding
-    out = (np.ascontiguousarray(lt_src.real).astype(np.float32),
-           np.ascontiguousarray(lt_src.imag).astype(np.float32))
-    _DECIM_OP_CACHE[cache_key] = out
-    return out
+    _DECIM_OP_CACHE[cache_key] = lt_src
+    return lt_src
 
 
 # ---------------------------------------------------------------------------
@@ -203,10 +214,20 @@ class PhaseScattering1D:
     def __init__(self, J: int, Q: int, T: int, shape: int,
                  max_order: int = 1, oversampling: int = 0,
                  tukey_alpha: Optional[float] = None,
-                 dtype=jnp.float32, correlation_dtype=None):
+                 dtype=jnp.float32, correlation_dtype=None,
+                 reduced_rate: bool = False,
+                 support_threshold: float = 3e-4):
         self.J, self.Q, self.T, self.N = J, Q, T, int(shape)
         self.tukey_alpha = tukey_alpha
         self.dtype = dtype
+        # Reduced-rate pipeline (subset paths only): run each selected
+        # pair's band synthesis, polar acceleration, and conjugate product
+        # at the lowest alias-safe sample rate instead of the full padded
+        # rate, with a composed (W -> n_out) decimation operator — see
+        # ops.phase_reduced. Error bounded by `support_threshold` (the
+        # relative amplitude at which filter spectral tails are truncated).
+        self.reduced_rate = reduced_rate
+        self.support_threshold = support_threshold
         # Mixed-precision correlation stage (training-path option). The
         # pair-rate intermediates (accelerated products, (B, P, N)) are the
         # frontend's dominant HBM traffic and the phi-decimate matmul its
@@ -430,7 +451,20 @@ class PhaseScattering1D:
         # (create_hdf5_dataset.py:421-432); here both flags may be set at
         # once (round-1 review: the old elif silently dropped `phase`).
         if compute_cross_phase:
-            if cross_subset is not None:
+            if cross_subset is not None and self.reduced_rate:
+                from .phase_reduced import apply_reduced, build_reduced_plan
+                plan = build_reduced_plan(self, None, cross_subset,
+                                          self.support_threshold)
+                x0 = reflect_pad(x[:, 0, :].astype(self.dtype),
+                                 self.pad_left, self.pad_right)
+                x1 = reflect_pad(x[:, 1, :].astype(self.dtype),
+                                 self.pad_left, self.pad_right)
+                xr0, xi0 = sfft.rfft(x0)
+                xr1, xi1 = sfft.rfft(x1)
+                _, cc = apply_reduced(plan, xr0, xi0, xr1, xi1,
+                                      self.correlation_dtype)
+                out["cross_phase_corr"] = cc
+            elif cross_subset is not None:
                 # filter only the bands the selected pairs touch, per channel
                 sub = np.asarray(cross_subset)
                 ii = self.pairs.i_idx[sub]
@@ -451,7 +485,17 @@ class PhaseScattering1D:
                     filtered, None)
         if compute_phase:
             sig = x[:, 0, :] if x.ndim == 3 else x
-            if phase_subset is not None:
+            if phase_subset is not None and self.reduced_rate:
+                from .phase_reduced import apply_reduced, build_reduced_plan
+                plan = build_reduced_plan(self, phase_subset, None,
+                                          self.support_threshold)
+                sp = reflect_pad(sig.astype(self.dtype), self.pad_left,
+                                 self.pad_right)
+                sr, si = sfft.rfft(sp)
+                pc, _ = apply_reduced(plan, sr, si, sr, si,
+                                      self.correlation_dtype)
+                out["phase_corr"] = pc
+            elif phase_subset is not None:
                 sub = np.asarray(phase_subset)
                 ii = self.pairs.i_idx[sub]
                 jj = self.pairs.j_idx[sub]
@@ -533,6 +577,24 @@ class PhaseScattering1D:
         out = {}
         if compute_scattering:
             out["scattering"] = self.scattering.scatter_spectrum(xr, xi)
+
+        if self.reduced_rate:
+            from .phase_reduced import apply_reduced, build_reduced_plan
+            plan = build_reduced_plan(self, phase_subset,
+                                      c_sub if up is not None else None,
+                                      self.support_threshold)
+            if c_sub is not None and up is not None:
+                upd = reflect_pad(up.astype(self.dtype), self.pad_left,
+                                  self.pad_right)
+                ur, ui = sfft.rfft(upd)
+            else:
+                ur, ui = xr, xi
+            pc, cc = apply_reduced(plan, xr, xi, ur, ui,
+                                   self.correlation_dtype)
+            out["phase_corr"] = pc
+            if cc is not None:
+                out["cross_phase_corr"] = cc
+            return out
 
         fr_b, fi_b = self._bands_from_spectrum(xr, xi, rows_fhr)
         ip = jnp.asarray(np.searchsorted(rows_fhr, pii))
