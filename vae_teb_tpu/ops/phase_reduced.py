@@ -52,7 +52,6 @@ accelerated products + phi filtering, computed there at full rate).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -155,8 +154,7 @@ def build_reduced_plan(sc, phase_subset: Optional[Sequence[int]],
                             > thr * phi.max())[0].max()) + 1
 
     # ---- assign each (family, pair) a decimation group --------------------
-    entries: List[Tuple[int, int, int, int, float, float]] = []
-    # (family, pos, i_band, j_band, power, delta) with the group's ds
+    # (family, pos, i_band, j_band, power, delta) keyed by the group's ds
     by_ds: Dict[int, List[Tuple]] = {}
     fam_subsets = ((0, phase_subset), (1, cross_subset))
     n_phase = len(phase_subset) if phase_subset is not None else 0
