@@ -2,9 +2,13 @@
 UP-ablation TE drop, TE-vs-shift curve — the JAX half of the cross-framework
 behavioral comparison (see parity_behavior_torch.py for the torch half).
 
-Usage: python parity_behavior_jax.py ckpt.pkl data_dir out.json [n_te] [n_shift] [precision]
+Usage: python parity_behavior_jax.py ckpt.pkl data_dir out.json [n_te] [n_shift] [precision] [frontend]
 precision bf16 probes the checkpoint under the same compute policy it was
-trained with.
+trained with. frontend `reduced` gives the shift analysis (the one probe
+that recomputes coefficients from raw signals) the reduced+bf16
+production frontend, matching a checkpoint trained on
+`build-data --bf16-frontend --reduced-frontend` coefficients; default
+`exact` is the fp32/HIGHEST golden-parity frontend.
 """
 import sys, json, pickle
 sys.path.insert(0, '/root/repo')
@@ -18,6 +22,7 @@ ckpt, data_dir, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
 n_te = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 n_shift = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 precision = sys.argv[6] if len(sys.argv) > 6 else 'fp32'
+frontend = sys.argv[7] if len(sys.argv) > 7 else 'exact'
 SHIFTS_S = [-60, -45, -30, -15, 0]
 
 with open(ckpt, 'rb') as f:
@@ -30,7 +35,10 @@ raw = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                           normalize_fields=('fhr_st', 'fhr_ph', 'fhr_up_ph'),
                           cache_size=0, allow_stats_trim_mismatch=True)
 
-sc = PhaseScattering1D(J=11, Q=4, T=16, shape=5760, max_order=1)
+sc = PhaseScattering1D(J=11, Q=4, T=16, shape=5760, max_order=1,
+                       correlation_dtype=(jnp.bfloat16 if frontend == 'reduced'
+                                          else None),
+                       reduced_rate=frontend == 'reduced')
 sel = sc.optimal_fhr_selection()
 stats = load_stats(f'{data_dir}/ps.h5')
 ev = ModelEvaluator(model, variables, scattering=sc, stats=stats,
