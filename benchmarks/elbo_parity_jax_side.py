@@ -24,12 +24,18 @@ save_path = sys.argv[3] if len(sys.argv) > 3 else None
 precision = sys.argv[4] if len(sys.argv) > 4 else 'fp32'
 moment_dtype = sys.argv[5] if len(sys.argv) > 5 else 'fp32'
 lstm_schedule = sys.argv[6] if len(sys.argv) > 6 else 'wavefront'
+# seed (round 5): varies the init/reparam trajectory so checkpoint-level
+# behavioral probes (parity_behavior_jax.py) can be separated from
+# trajectory noise — the cross-framework protocol itself always uses the
+# default (reparam RNGs differ between frameworks anyway, BASELINE.md).
+seed = int(sys.argv[7]) if len(sys.argv) > 7 else 42
 
 ds = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                          trim_minutes=2.0, cache_size=0)
 mesh = data_parallel_mesh(devices=jax.devices()[:1])
 cfg = TrainerConfig(lr=1e-3, grad_clip_norm=0.5, weight_decay=1e-4,
-                    precision=precision, moment_dtype=moment_dtype)
+                    precision=precision, moment_dtype=moment_dtype,
+                    seed=seed)
 trainer = Trainer(SeqVaeTeb(dtype=cfg.model_dtype(),
                             lstm_schedule=lstm_schedule), cfg, mesh=mesh)
 B = 4

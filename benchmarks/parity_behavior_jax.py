@@ -23,6 +23,13 @@ n_te = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 n_shift = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 precision = sys.argv[6] if len(sys.argv) > 6 else 'fp32'
 frontend = sys.argv[7] if len(sys.argv) > 7 else 'exact'
+# 'exact' = fp32/HIGHEST golden-parity frontend; 'bf16' = bf16 correlation
+# stage only (cli --bf16-frontend); 'reduced' = reduced-rate + bf16 (the
+# production pair, cli --reduced-frontend --bf16-frontend). Validated so a
+# typo cannot silently select the exact frontend (round-4 advisor finding).
+assert precision in ('fp32', 'bf16'), f"unknown precision {precision!r}"
+assert frontend in ('exact', 'bf16', 'reduced'), (
+    f"unknown frontend {frontend!r}")
 SHIFTS_S = [-60, -45, -30, -15, 0]
 
 with open(ckpt, 'rb') as f:
@@ -36,7 +43,8 @@ raw = CombinedHDF5Dataset(f'{data_dir}/p.h5', stats_path=f'{data_dir}/ps.h5',
                           cache_size=0, allow_stats_trim_mismatch=True)
 
 sc = PhaseScattering1D(J=11, Q=4, T=16, shape=5760, max_order=1,
-                       correlation_dtype=(jnp.bfloat16 if frontend == 'reduced'
+                       correlation_dtype=(jnp.bfloat16
+                                          if frontend in ('bf16', 'reduced')
                                           else None),
                        reduced_rate=frontend == 'reduced')
 sel = sc.optimal_fhr_selection()

@@ -50,13 +50,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=4,
+                    help="must be >= 2: epoch 0 includes the jit compile "
+                         "(minutes through the tunnel); the loop rate is "
+                         "read from the post-compile epochs only")
     ap.add_argument("--schedule", default="wavefront_pallas")
     ap.add_argument("--steps", type=int, default=30,
                     help="steady-state step-only timing iterations")
     ap.add_argument("--keep", default=None,
                     help="build under this dir and keep it (default: tmp)")
     args = ap.parse_args()
+    if args.epochs < 2:
+        ap.error("--epochs must be >= 2 (epoch 0 includes jit compile; a "
+                 "1-epoch run would report a compile-dominated loop rate)")
 
     tmp = None
     if args.keep:
@@ -81,12 +87,27 @@ def main() -> int:
         timings["stats_s"] = round(time.perf_counter() - t0, 1)
     if not os.path.isdir(packed):
         t0 = time.perf_counter()
-        ds = CombinedHDF5Dataset(h5, stats_path=stats_path,
+        # stats_path=None: this is the `cli pack-data --raw` path — nothing
+        # is normalized here (normalization folds into the jitted step via
+        # --device-normalize), so the manifest must not claim it was
+        # (round-4 advisor finding: stats_path set => "normalized": true).
+        ds = CombinedHDF5Dataset(h5, stats_path=None,
                                  normalize_fields=(), trim_minutes=2.0,
                                  cache_size=0, raw_layout=True)
         PackedWindowStore.build(ds, packed, batch_size=256)
         ds.close()
         timings["pack_s"] = round(time.perf_counter() - t0, 1)
+    # --keep reuse guard (round-4 advisor finding): a rerun with a
+    # different --windows must not silently benchmark stale data (whether
+    # the stale artifact is the packed store or the hdf5 it was built from).
+    with open(os.path.join(packed, "manifest.json")) as f:
+        packed_n = json.load(f)["n_windows"]
+    if packed_n != args.windows:
+        sys.stderr.write(
+            f"kept dir holds a packed store with {packed_n} windows but "
+            f"--windows={args.windows}; delete {root} or rerun with "
+            f"--windows {packed_n}\n")
+        return 1
 
     cfg_path = os.path.join(root, "cfg.yaml")
     runs = os.path.join(root, "runs")
@@ -152,7 +173,9 @@ dataset:
     dt = time.perf_counter() - t0
     step_rate = args.steps * args.batch / dt
 
-    loop_rate = epoch_rates[-1]
+    # steady-state loop rate: mean over the post-compile epochs (epoch 0
+    # pays the jit compile — minutes through the tunnel)
+    loop_rate = round(float(np.mean(epoch_rates[1:])), 1)
     print(json.dumps({
         "metric": "production train-loop throughput",
         "unit": "windows/sec/chip",

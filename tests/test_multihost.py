@@ -28,6 +28,10 @@ WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 STEPS = 4
 GLOBAL_BATCH = 8
 
+# test_dryrun_gate_budget ceiling: measured 147 s for _dryrun_body(2) on
+# this 1-core host (2026-08-20; the 8-device driver gate measured 181 s).
+GATE_BUDGET_S = 300
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -99,6 +103,38 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             mh[k], sp[k], rtol=0, atol=1e-6,
             err_msg=f"2-process vs 1-process mismatch in {k}")
+
+
+def test_dryrun_gate_budget():
+    """The driver's multichip gate must FIT ITS TIMEOUT, not just pass.
+
+    MULTICHIP_r03 failed on environment drift; MULTICHIP_r04 was rc=124 —
+    a driver-timeout kill of a correct ~20-min check. This guard runs the
+    real `_dryrun_body` (tiny 2-device mesh, default cheap config) under
+    the same scrubbed-env pattern `dryrun_multichip` uses and asserts a
+    wall-time ceiling, so gate-budget regressions surface here instead of
+    in MULTICHIP_r{N}.json. The 8-device gate itself is timed and
+    recorded in BASELINE.md (round 5)."""
+    import time
+    env = _worker_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    t0 = time.monotonic()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g._dryrun_body(2)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    wall = time.monotonic() - t0
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    # Budget: the 2-device body must stay comfortably inside the ~5-min
+    # budget the 8-device driver gate targets (BASELINE.md round 5
+    # records both). Bound chosen ~2x the measured wall so scheduler
+    # noise doesn't flake it while a structural regression (a second
+    # trainer compile, an init compile, production-size shapes) trips it.
+    assert wall < GATE_BUDGET_S, (
+        f"_dryrun_body(2) took {wall:.0f}s — the driver gate budget has "
+        f"regressed (budget {GATE_BUDGET_S}s; see __graft_entry__ "
+        "gate-budget notes)")
 
 
 def _tail(tmp_path) -> str:

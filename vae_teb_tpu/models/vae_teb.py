@@ -387,16 +387,25 @@ class SeqVaeTeb(nn.Module):
     # per scan step (blocks._wavefront_core): fwd+bwd 6.06 -> 3.55 ms on v5e
     # at the production shape. "stacked" is the layer-sequential fallback.
     lstm_schedule: str = "wavefront"
+    # LSTM stack size for BOTH encoders (reference hard-codes 64x4,
+    # vae_teb_model.py:457,633). Exposed so cheap configs (sharding dry
+    # runs, CI) can compile a structurally identical but smaller program.
+    lstm_hidden_dim: int = 64
+    lstm_num_layers: int = 4
     dtype: Optional[Dtype] = None
 
     def setup(self):
         self.source_encoder = SourceEncoder(
             input_channels=self.input_channels,
             latent_dim=self.latent_dim_source,
+            lstm_hidden_dim=self.lstm_hidden_dim,
+            lstm_num_layers=self.lstm_num_layers,
             lstm_schedule=self.lstm_schedule, dtype=self.dtype)
         self.target_encoder = TargetEncoder(
             latent_dim=self.latent_dim_target,
             n_scattering=self.n_scattering, n_phase=self.n_phase,
+            lstm_hidden_dim=self.lstm_hidden_dim,
+            lstm_num_layers=self.lstm_num_layers,
             lstm_schedule=self.lstm_schedule, dtype=self.dtype)
         self.conditional_encoder = ConditionalEncoder(
             dim_hx=self.latent_dim_source, dim_hy=self.latent_dim_target,
@@ -475,8 +484,9 @@ class SeqVaeTeb(nn.Module):
     def init_source_stream_state(self, batch_size: int) -> Dict:
         """Carried-state pytree for encode_source_stream. Plain field math —
         callable on the unbound module (no variables needed)."""
-        return source_stream_init_state(batch_size, lstm_num_layers=4,
-                                        lstm_hidden_dim=64, dtype=self.dtype)
+        return source_stream_init_state(
+            batch_size, lstm_num_layers=self.lstm_num_layers,
+            lstm_hidden_dim=self.lstm_hidden_dim, dtype=self.dtype)
 
     def get_sequence_encoding(self, x_ph, timestep: int):
         """Reference-parity API (vae_teb_model.py:723-740): causal source
