@@ -85,12 +85,17 @@ def main():
     # --fp32-frontend A/Bs the exact fp32/HIGHEST frontend back in.
     corr_dtype = (jnp.bfloat16 if precision == "bf16"
                   and "--fp32-frontend" not in sys.argv else None)
-    # --reduced-frontend: reduced-rate pipeline (ops.phase_reduced) — every
-    # selected pair's band synthesis / polar / product runs at its lowest
-    # alias-safe rate. Error sits INSIDE the fp32 implementation spread vs
-    # the float64 oracle (2.2e-2 vs the torch reference's 3.3e-2,
-    # test_reduced_rate_oracle_acceptance); opt-in pending the on-chip A/B.
-    reduced = "--reduced-frontend" in sys.argv
+    # Reduced-rate pipeline (ops.phase_reduced) — every selected pair's
+    # band synthesis / polar / product runs at its lowest alias-safe rate.
+    # PRODUCTION DEFAULT since round 5, with the full evidence chain in
+    # BASELINE.md: on-chip A/B (frontend 19.48 -> 13.88 ms/step at batch
+    # 128), float64-oracle error INSIDE the fp32 implementation spread
+    # (2.2e-2 vs the torch reference's own 3.3e-2,
+    # test_reduced_rate_oracle_acceptance), AND the 300-step full-config
+    # training-parity + behavioral-probe run over a dataset built with
+    # this frontend (BASELINE.md round-5). --exact-frontend A/Bs the
+    # full-rate pipeline back in.
+    reduced = "--exact-frontend" not in sys.argv
     sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1,
                            correlation_dtype=corr_dtype,
                            reduced_rate=reduced)

@@ -8,7 +8,14 @@ perfetto trace, then parses the trace JSON into a cost table grouped by op
 name. Writes the table to stdout and benchmarks/trace_table.txt.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/profile_trace.py
-       [--fp32] [--batch N] [--steps K]
+       [--fp32] [--batch N] [--steps K] [--schedule S]
+       [--reduced-frontend] [--fp32-frontend]
+
+Round-5 note: pass `--schedule wavefront` when tracing — profiler traces
+of programs containing pallas custom calls inflate every op ~10-20x on
+axon (CLAUDE.md); the pallas recurrence is A/B'd by scan-differenced
+timing instead. `--reduced-frontend` mirrors the round-5 bench default
+(reduced-rate + bf16 correlation stage).
 """
 
 import glob
@@ -32,7 +39,11 @@ def build_step(B, model_dtype):
     from vae_teb_tpu.ops import PhaseScattering1D
 
     N, trim = 5760, 30
-    sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1)
+    corr_dtype = (jnp.bfloat16 if model_dtype is not None
+                  and "--fp32-frontend" not in sys.argv else None)
+    sc = PhaseScattering1D(J=11, Q=4, T=16, shape=N, max_order=1,
+                           correlation_dtype=corr_dtype,
+                           reduced_rate="--reduced-frontend" in sys.argv)
     sel = sc.optimal_fhr_selection()
     phase_idx = tuple(int(i) for i in sel["phase_selection"]["selected_indices"])
     cross_idx = tuple(int(i) for i in sel["cross_selection"]["selected_indices"])
