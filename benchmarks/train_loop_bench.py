@@ -55,6 +55,13 @@ def main() -> int:
                          "(minutes through the tunnel); the loop rate is "
                          "read from the post-compile epochs only")
     ap.add_argument("--schedule", default="wavefront_pallas")
+    ap.add_argument("--steps-per-execution", type=int, default=1,
+                    dest="spe",
+                    help="K train steps per jitted dispatch in the fit "
+                         "loop (TrainerConfig.steps_per_execution): "
+                         "amortizes the per-dispatch overhead that "
+                         "dominates the naive loop (BASELINE.md round-5 "
+                         "loop attribution)")
     ap.add_argument("--steps", type=int, default=30,
                     help="steady-state step-only timing iterations")
     ap.add_argument("--keep", default=None,
@@ -120,6 +127,7 @@ trainer:
   epochs: {args.epochs}
   precision: bf16
   moment_dtype: bf16
+  steps_per_execution: {args.spe}
   seed: 42
 dataset:
   train_paths: [{packed}]
@@ -163,13 +171,17 @@ dataset:
                       cfg, mesh=mesh, normalize_stats=norm_stats)
     state = trainer.init_state(store.read_batch(range(2)))
     batch = trainer._put(store.read_batch(range(args.batch)))
+    # NOTE round-5: close each timing with a SCALAR FETCH, not
+    # block_until_ready — the axon deferred runtime can satisfy
+    # block_until_ready before the device work ran (CLAUDE.md), which
+    # over-read this leg as 35k win/s in the first recorded run.
     for _ in range(3):  # compile + warm
         state, m = trainer.train_step(state, batch, beta=1e-5)
-    jax.block_until_ready(m)
+    float(np.asarray(m["total_loss"]))
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, m = trainer.train_step(state, batch, beta=1e-5)
-    jax.block_until_ready(m)
+    float(np.asarray(m["total_loss"]))  # forces the chain via state deps
     dt = time.perf_counter() - t0
     step_rate = args.steps * args.batch / dt
 
@@ -180,7 +192,7 @@ dataset:
         "metric": "production train-loop throughput",
         "unit": "windows/sec/chip",
         "windows": args.windows, "batch": args.batch,
-        "schedule": args.schedule,
+        "schedule": args.schedule, "steps_per_execution": args.spe,
         "epoch_rates": epoch_rates,       # epoch 0 includes compile
         "loop_rate": loop_rate,           # last-epoch fit-loop rate
         "step_only_rate": round(step_rate, 1),

@@ -751,3 +751,73 @@ def test_pallas_schedule_accepted_on_multi_device_mesh(cpu_mesh_devices):
     Trainer(model, TrainerConfig(), mesh=mesh)
     single = data_parallel_mesh(devices=cpu_mesh_devices[:1])
     Trainer(model, TrainerConfig(), mesh=single)
+
+
+def test_steps_per_execution_parity(cpu_mesh_devices):
+    """K stacked steps in ONE dispatch (train_multi_step's on-device
+    lax.scan) must equal K sequential train_step calls exactly — same
+    final params/opt_state/rng and per-step metrics (round-5 loop-
+    dispatch amortization, BASELINE.md loop attribution)."""
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    cfg = TrainerConfig(lr=1e-3, seed=7)
+    trainer = Trainer(MiniVae(), cfg, mesh=mesh)
+    rng = np.random.default_rng(11)
+    batches = [make_batch(rng) for _ in range(3)]
+    state0 = trainer.init_state(batches[0])
+
+    # sequential reference
+    state_seq = state0
+    seq_metrics = []
+    for b in batches:
+        state_seq, m = trainer.train_step(state_seq, b, beta=1e-5)
+        seq_metrics.append({k: float(v) for k, v in m.items()})
+
+    # one stacked dispatch
+    from vae_teb_tpu.train.trainer import _stack_batches
+    (stacked,) = list(_stack_batches(iter(batches), 3))
+    state_multi, ms = trainer.train_multi_step(state0, stacked, beta=1e-5)
+
+    assert int(state_multi.step) == int(state_seq.step) == int(state0.step) + 3
+    for k, v in ms.items():
+        v = np.asarray(v)
+        assert v.shape == (3,), k
+        for i in range(3):
+            np.testing.assert_allclose(v[i], seq_metrics[i][k], rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
+    for pa, pb in zip(jax.tree.leaves(jax.device_get(state_seq.params)),
+                      jax.tree.leaves(jax.device_get(state_multi.params))):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(state_seq.rng),
+                                  np.asarray(state_multi.rng))
+
+
+def test_fit_loop_steps_per_execution(cpu_mesh_devices):
+    """fit with steps_per_execution=2 over 5 batches (2 full stacks + a
+    ragged tail of 1) must see every window, produce per-step metric
+    history, and match the spe=1 fit's final params exactly."""
+    mesh = data_parallel_mesh(devices=cpu_mesh_devices)
+    rng = np.random.default_rng(13)
+    batches = [make_batch(rng) for _ in range(5)]
+
+    def run(spe):
+        cfg = TrainerConfig(lr=1e-3, epochs=1, seed=3,
+                            steps_per_execution=spe, prefetch=2)
+        trainer = Trainer(MiniVae(), cfg, mesh=mesh)
+        state = trainer.init_state(batches[0])
+        state = trainer.fit(state, lambda e: iter(batches))
+        return trainer, state
+
+    tr1, st1 = run(1)
+    tr2, st2 = run(2)
+    assert int(st2.step) == 5
+    # loop accounting saw every window in both modes
+    assert tr1.history["windows_per_sec"][0] > 0
+    assert tr2.history["windows_per_sec"][0] > 0
+    np.testing.assert_allclose(tr1.history["train/total_loss"],
+                               tr2.history["train/total_loss"],
+                               rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(jax.device_get(st1.params)),
+                      jax.tree.leaves(jax.device_get(st2.params))):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)

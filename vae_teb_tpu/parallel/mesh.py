@@ -38,6 +38,14 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh, axis_name: str = "data"
+                           ) -> NamedSharding:
+    """Sharding for a (K, B, ...) stack of K batches: axis 0 is the
+    on-device scan axis (steps_per_execution), axis 1 the batch —
+    sharded across the mesh exactly like a single batch's axis 0."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """Fully replicated (params, optimizer state, scalars)."""
     return NamedSharding(mesh, P())

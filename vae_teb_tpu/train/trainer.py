@@ -87,6 +87,17 @@ class TrainerConfig:
     # Single-process only: multihost batches assemble per-process slices
     # through make_array_from_process_local_data in _put instead.
     prefetch: int = 2
+    # run K train steps per jitted dispatch: the fit loop stacks K host
+    # batches into (K, B, ...) arrays and the compiled program lax.scans
+    # the step body over them on device. Divides the per-dispatch
+    # overhead (call round trip + materializing the ~300-leaf TrainState
+    # result) by K — measured 918 -> ~85 ms/step on the tunnel-attached
+    # dev chip (BASELINE.md round-5 loop attribution); on production
+    # hosts it is the standard keep-the-TPU-busy pattern (Keras
+    # steps_per_execution). Pick K dividing the steps per epoch: a
+    # ragged tail group compiles a second (smaller-K) program once.
+    # Single-process loops only; ignored under multihost.
+    steps_per_execution: int = 1
 
     def model_dtype(self):
         import jax.numpy as jnp
@@ -103,6 +114,25 @@ class TrainerConfig:
         if self.moment_dtype in ("fp32", "float32"):
             return None
         raise ValueError(f"unknown moment_dtype: {self.moment_dtype!r}")
+
+
+def _stack_batches(iterator: Iterator, k: int) -> Iterator:
+    """Group k consecutive batches into one (k, B, ...) stacked batch per
+    train field (np.stack = one contiguous host copy). A ragged tail
+    yields a smaller stack (which compiles its own K'-step program once)."""
+    fields = ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr")
+
+    def stack(buf):
+        return {f: np.stack([np.asarray(b[f]) for b in buf]) for f in fields}
+
+    buf = []
+    for b in iterator:
+        buf.append(b)
+        if len(buf) == k:
+            yield stack(buf)
+            buf = []
+    if buf:
+        yield stack(buf)
 
 
 class Trainer:
@@ -147,6 +177,7 @@ class Trainer:
         self.history: Dict[str, list] = {}
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._train_multi = None  # built on first train_multi_step use
 
     # -- state ---------------------------------------------------------------
 
@@ -234,38 +265,60 @@ class Trainer:
         return (mc(y_st, "fhr_st"), mc(y_ph, "fhr_ph"),
                 mc(x_ph, "fhr_up_ph"), y_raw)
 
-    def _build_train_step(self):
+    def _train_body(self, state: TrainState, y_st, y_ph, x_ph, y_raw, beta):
+        """Traced single-step body shared by the per-step program and the
+        steps_per_execution lax.scan program."""
         model, tx = self.model, self.tx
-        prep = self._prep
+        y_st, y_ph, x_ph, y_raw = self._prep(y_st, y_ph, x_ph, y_raw)
+        rng, sample_rng = jax.random.split(state.rng)
 
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                y_st, y_ph, x_ph, train=True,
+                rngs={"sample": sample_rng}, mutable=["batch_stats"])
+            losses = model.compute_loss(out, y_st, y_ph, y_raw, beta=beta)
+            return losses["total_loss"], (losses, updates)
+
+        (_, (losses, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state, rng=rng)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def _build_train_step(self):
+        body = self._train_body
         donate = (0,) if self.config.donate_state else ()
 
         @partial(jax.jit, donate_argnums=donate)
         def train_step(state: TrainState, y_st, y_ph, x_ph, y_raw, beta):
-            y_st, y_ph, x_ph, y_raw = prep(y_st, y_ph, x_ph, y_raw)
-            rng, sample_rng = jax.random.split(state.rng)
-
-            def loss_fn(params):
-                out, updates = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    y_st, y_ph, x_ph, train=True,
-                    rngs={"sample": sample_rng}, mutable=["batch_stats"])
-                losses = model.compute_loss(out, y_st, y_ph, y_raw, beta=beta)
-                return losses["total_loss"], (losses, updates)
-
-            (_, (losses, updates)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            upd, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, upd)
-            new_state = state.replace(
-                step=state.step + 1, params=params,
-                batch_stats=updates.get("batch_stats", state.batch_stats),
-                opt_state=opt_state, rng=rng)
-            metrics = {k: v for k, v in losses.items()}
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return new_state, metrics
+            return body(state, y_st, y_ph, x_ph, y_raw, beta)
 
         return train_step
+
+    def _build_train_multi(self):
+        """K steps per dispatch: scan the step body over a (K, B, ...)
+        batch stack entirely on device. One call, one TrainState result,
+        stacked (K,) metrics — the per-dispatch overhead that dominates
+        the naive per-step loop (BASELINE.md round-5 loop attribution)
+        is paid once per K steps."""
+        body = self._train_body
+        donate = (0,) if self.config.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def train_multi(state: TrainState, y_st, y_ph, x_ph, y_raw, beta):
+            def scan_body(s, xs):
+                return body(s, *xs, beta)
+
+            return jax.lax.scan(scan_body, state, (y_st, y_ph, x_ph, y_raw))
+
+        return train_multi
 
     def _build_eval_step(self):
         model = self.model
@@ -307,6 +360,24 @@ class Trainer:
         return self._eval_step(state, b["fhr_st"], b["fhr_ph"],
                                b["fhr_up_ph"], b["fhr"], beta)
 
+    def train_multi_step(self, state: TrainState, stacked_batch, beta: float):
+        """Run K = leading-axis steps in ONE dispatch. stacked_batch fields
+        are (K, B, ...) stacks of K consecutive batches (np.stack of what
+        train_step takes). Returns (state, metrics) with each metric a
+        (K,) array, step k of which equals what K sequential train_step
+        calls would have produced (exact-parity-tested,
+        tests/test_train.py::test_steps_per_execution_parity)."""
+        from ..parallel import stacked_batch_sharding
+        if self._train_multi is None:
+            self._train_multi = self._build_train_multi()
+        sh = stacked_batch_sharding(self.mesh)
+        b = {k: jax.device_put(stacked_batch[k]
+                               if isinstance(stacked_batch[k], jax.Array)
+                               else np.asarray(stacked_batch[k]), sh)
+             for k in ("fhr_st", "fhr_ph", "fhr_up_ph", "fhr")}
+        return self._train_multi(state, b["fhr_st"], b["fhr_ph"],
+                                 b["fhr_up_ph"], b["fhr"], beta)
+
     # -- loop ----------------------------------------------------------------
 
     def fit(self, state: TrainState,
@@ -337,20 +408,42 @@ class Trainer:
             train_metrics = []
             n_windows = 0
             batches = train_batches(epoch)
+            # K steps per dispatch (single-process loops): stack K host
+            # batches and lax.scan the step on device — the per-dispatch
+            # overhead (round trip + TrainState-result materialization,
+            # the dominant loop cost in BASELINE.md's round-5 attribution)
+            # is paid once per K steps instead of every step
+            spe = (cfg.steps_per_execution
+                   if jax.process_count() == 1 else 1)
+            if spe > 1:
+                batches = _stack_batches(batches, spe)
             if cfg.prefetch > 0 and jax.process_count() == 1:
                 # background thread stages device transfers ahead; _put
                 # passes already-placed arrays through untouched
                 from ..data.dataset import prefetch_to_device
+                from ..parallel import stacked_batch_sharding
                 batches = prefetch_to_device(
                     batches, size=cfg.prefetch,
-                    sharding=batch_sharding(self.mesh),
+                    sharding=(stacked_batch_sharding(self.mesh) if spe > 1
+                              else batch_sharding(self.mesh)),
                     array_fields=("fhr_st", "fhr_ph", "fhr_up_ph", "fhr"))
             for i, batch in enumerate(batches):
-                n_windows += int(np.shape(batch["fhr"])[0])
-                state, metrics = self.train_step(state, batch, beta)
+                if spe > 1:
+                    # (K, B) windows per stacked dispatch; the tail stack
+                    # may carry K' < K
+                    n_windows += int(np.shape(batch["fhr"])[0] *
+                                     np.shape(batch["fhr"])[1])
+                    state, metrics = self.train_multi_step(state, batch,
+                                                           beta)
+                else:
+                    n_windows += int(np.shape(batch["fhr"])[0])
+                    state, metrics = self.train_step(state, batch, beta)
                 train_metrics.append(metrics)
-            train_avg = {k: float(np.mean([m[k] for m in train_metrics]))
-                         for k in train_metrics[0]} if train_metrics else {}
+            # per-key ravel+concat: entries are scalars (per-step) or (K,)
+            # stacks (per-dispatch), weighted equally per step either way
+            train_avg = {k: float(np.mean(np.concatenate(
+                [np.ravel(np.asarray(m[k])) for m in train_metrics])))
+                for k in train_metrics[0]} if train_metrics else {}
             epoch_time = time.time() - t0
             win_rate = n_windows / epoch_time if epoch_time > 0 else 0.0
 
